@@ -1,0 +1,14 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before the first jax import anywhere in the test
+process, hence module scope in conftest.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+# fp32 determinism on CPU
+os.environ.setdefault('JAX_ENABLE_X64', '0')
