@@ -1,0 +1,232 @@
+"""Rotated NMS, TPU-native and shape-static.
+
+Replaces the reference's four NMS extensions (rnms_ext "v1",
+ml_nms_rotated "v2", nms_rotated_ext "v3", poly_nms — SURVEY.md §2.4)
+with ONE greedy suppression core over a precomputed IoU matrix, plus
+version policies:
+
+- ``v1``  class-offset on box centers before a single class-blind pass
+  (parity: rnms_wrapper.py:7-69);
+- ``v2``  label-aware: IoU gated to 0 across labels
+  (parity: ml_nms_rotated/src/box_iou_rotated_utils.h:319);
+- ``v3``  class-offset by circumscribed-hbb extent + tiny-box skip
+  (parity: nms_rotated_wrapper.py:36-98);
+- ``poly`` greedy NMS on scored convex quads (parity: poly_nms_cuda.cu).
+
+Everything is fixed-shape: inputs are padded to a static K, outputs are
+padded to a static ``max_out`` with a valid-count. Greedy order-dependence
+is preserved exactly by a ``fori_loop`` sweep in score order — the same
+suppression semantics as the reference's bitmask kernel + host sweep, but
+with no device→host sync.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import rotated_iou_pairwise, obb_corners, \
+    quad_iou_pairwise
+
+NEG_INF = -1e30
+
+
+def _greedy_keep(iou, valid, iou_thr):
+    """Greedy suppression over score-desc-sorted boxes.
+
+    iou: (K, K) pairwise IoU of the sorted boxes; valid: (K,) bool.
+    Returns keep mask (K,). Exactly matches sequential greedy NMS.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        suppress = (iou[i] > iou_thr) & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def rnms(dets, iou_thr, max_out=2000):
+    """Single-class rotated NMS on (N, 6) scored dets.
+
+    Returns (keep_idx (max_out,) padded with -1, num_kept). Matches the
+    reference v1 op's greedy semantics (rnms_kernel.cu:270-335); unlike
+    the reference we do not re-sort kept indices ascending — callers use
+    score order (the wrappers below gather, so order only affects
+    tie-breaks in downstream truncation, which happens in score order in
+    both frameworks).
+    """
+    boxes = dets[:, :5]
+    scores = dets[:, 5]
+    return _nms_core(boxes, scores, iou_thr, max_out)
+
+
+def _nms_core(boxes, scores, iou_thr, max_out, valid=None, labels=None,
+              label_aware=False):
+    """Shared static-shape NMS: sort, IoU, greedy sweep, top-max_out."""
+    k = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((k,), dtype=bool)
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+    iou = rotated_iou_pairwise(boxes_s, boxes_s)
+    if label_aware and labels is not None:
+        labels_s = labels[order]
+        same = labels_s[:, None] == labels_s[None, :]
+        iou = jnp.where(same, iou, 0.0)
+    keep = _greedy_keep(iou, valid_s, iou_thr)
+    # Indices (into the original array) of kept boxes, in score order,
+    # padded with -1.
+    rank = jnp.where(keep, jnp.arange(k), k + 1)
+    sel = jnp.argsort(rank)[:max_out]                 # kept first
+    kept_sorted = keep[sel]
+    keep_idx = jnp.where(kept_sorted, order[sel], -1)
+    return keep_idx, jnp.sum(keep)
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def batched_rnms(boxes, scores, labels, iou_thr, max_out=2000):
+    """v1 multi-class NMS: offset centers by label * (extent + 1).
+
+    Parity: rnms_wrapper.py:37-69. Returns (dets (max_out, 6), labels
+    (max_out,), num_kept); invalid rows zeroed, labels -1.
+    """
+    extent = jnp.max(jnp.abs(boxes[:, :2])) + jnp.max(boxes[:, 2:4])
+    offs = boxes.at[:, :2].add(labels[:, None].astype(boxes.dtype) *
+                               (extent + 1.0))
+    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out)
+    return _gather_dets(boxes, scores, labels, keep_idx), n
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def ml_nms_rotated(boxes, scores, labels, iou_thr, max_out=2000):
+    """v2 multi-class NMS: label-aware IoU gating.
+
+    Parity: ml_nms_rotated op (IoU hard-zero across labels).
+    """
+    keep_idx, n = _nms_core(boxes, scores, iou_thr, max_out, labels=labels,
+                            label_aware=True)
+    return _gather_dets(boxes, scores, labels, keep_idx), n
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def obb_batched_nms(boxes, scores, labels, iou_thr, max_out=2000,
+                    small_box_thr=1e-3):
+    """v3 multi-class NMS: hbb-extent class offsets + tiny-box skip.
+
+    Parity: nms_rotated_wrapper.py:36-98.
+    """
+    valid = jnp.minimum(boxes[:, 2], boxes[:, 3]) >= small_box_thr
+    corners = obb_corners(boxes)
+    xs = corners[..., 0]
+    ys = corners[..., 1]
+    extent = jnp.maximum(
+        jnp.where(valid, xs.max(-1), 0.0).max() -
+        jnp.where(valid, xs.min(-1), 0.0).min(),
+        jnp.where(valid, ys.max(-1), 0.0).max() -
+        jnp.where(valid, ys.min(-1), 0.0).min())
+    offs = boxes.at[:, :2].add(labels[:, None].astype(boxes.dtype) *
+                               (extent + 1.0))
+    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out, valid=valid)
+    return _gather_dets(boxes, scores, labels, keep_idx), n
+
+
+@partial(jax.jit, static_argnames=('max_out',))
+def poly_nms(polys_scored, iou_thr, max_out=2000):
+    """Greedy NMS on scored convex quads (N, 9). Parity: poly_nms_cuda.cu.
+
+    Returns (keep_idx (max_out,) padded -1, num_kept).
+    """
+    polys = polys_scored[:, :8]
+    scores = polys_scored[:, 8]
+    k = polys.shape[0]
+    order = jnp.argsort(-scores)
+    polys_s = polys[order]
+    iou = quad_iou_pairwise(polys_s, polys_s)
+    keep = _greedy_keep(iou, jnp.ones((k,), bool), iou_thr)
+    rank = jnp.where(keep, jnp.arange(k), k + 1)
+    sel = jnp.argsort(rank)[:max_out]
+    keep_idx = jnp.where(keep[sel], order[sel], -1)
+    return keep_idx, jnp.sum(keep)
+
+
+def _gather_dets(boxes, scores, labels, keep_idx):
+    """Gather (max_out, 6) dets + (max_out,) labels; pad rows zero/-1."""
+    ok = keep_idx >= 0
+    safe = jnp.maximum(keep_idx, 0)
+    dets = jnp.concatenate([boxes[safe], scores[safe, None]], axis=-1)
+    dets = jnp.where(ok[:, None], dets, 0.0)
+    out_labels = jnp.where(ok, labels[safe], -1)
+    return dets, out_labels
+
+
+@partial(jax.jit, static_argnames=('version', 'max_num', 'pre_topk'))
+def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
+                           version='v1', max_num=2000, pre_topk=2000):
+    """Multi-class rotated NMS over per-class scores, shape-static.
+
+    Args:
+      mboxes: (N, 5) or (N, C, 5) decoded boxes per position (shared
+        across classes when (N, 5), matching the reference's shared-reg
+        heads — bbox_nms_rotated.py:98-109).
+      mscores: (N, C+1) class scores, background last (sigmoid-padded).
+      score_thr: float score threshold (prefilter).
+      iou_thr: float NMS IoU threshold.
+      version: 'v1' | 'v2' | 'v3' | 'mmcv' — suppression policy
+        (bbox_nms_rotated.py:45-131). 'mmcv' behaves like label-aware v2.
+      max_num: output cap.
+      pre_topk: static candidate budget across (position, class) pairs.
+
+    Returns (dets (max_num, 6), labels (max_num,), num_valid).
+    """
+    n, cp1 = mscores.shape
+    c = cp1 - 1
+    scores = mscores[:, :c]                          # drop BG column
+    if mboxes.ndim == 2:
+        boxes = jnp.broadcast_to(mboxes[:, None, :], (n, c, 5))
+    else:
+        boxes = mboxes
+    flat_scores = scores.reshape(-1)
+    flat_boxes = boxes.reshape(-1, 5)
+    flat_labels = jnp.tile(jnp.arange(c), n)
+    ok = flat_scores > score_thr
+    gated = jnp.where(ok, flat_scores, NEG_INF)
+    k = min(pre_topk, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(gated, k)
+    top_boxes = flat_boxes[top_idx]
+    top_labels = flat_labels[top_idx]
+    valid = top_scores > NEG_INF / 2
+
+    if version == 'v1':
+        extent = jnp.max(jnp.abs(jnp.where(valid[:, None],
+                                           top_boxes[:, :2], 0.0))) + \
+            jnp.max(jnp.where(valid, top_boxes[:, 2], 0.0) +
+                    jnp.where(valid, top_boxes[:, 3], 0.0))
+        offs = top_boxes.at[:, :2].add(
+            top_labels[:, None].astype(top_boxes.dtype) * (extent + 1.0))
+        keep_idx, num = _nms_core(offs, top_scores, iou_thr, max_num,
+                                  valid=valid)
+    elif version == 'v3':
+        tiny = jnp.minimum(top_boxes[:, 2], top_boxes[:, 3]) < 1e-3
+        corners = obb_corners(top_boxes)
+        vz = valid & ~tiny
+        xs = jnp.where(vz[:, None], corners[..., 0], 0.0)
+        ys = jnp.where(vz[:, None], corners[..., 1], 0.0)
+        extent = jnp.maximum(xs.max() - xs.min(), ys.max() - ys.min())
+        offs = top_boxes.at[:, :2].add(
+            top_labels[:, None].astype(top_boxes.dtype) * (extent + 1.0))
+        keep_idx, num = _nms_core(offs, top_scores, iou_thr, max_num,
+                                  valid=vz)
+    else:   # 'v2' and 'mmcv': label-aware gating
+        keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
+                                  valid=valid, labels=top_labels,
+                                  label_aware=True)
+
+    dets, labels_out = _gather_dets(top_boxes, top_scores, top_labels,
+                                    keep_idx)
+    return dets, labels_out, jnp.minimum(num, max_num)

@@ -7,24 +7,27 @@ reference backends compute the same quantity — exact overlap area of two
 rotated rectangles — differing only in dispatch plumbing; here the
 version-specific calculators are thin wrappers (core/iou_calculators.py).
 
-Algorithm (differs from the reference's Graham-scan approach on purpose —
-this shape maps better to the VPU):
+Algorithm (deliberately different from the reference's sequential
+Graham-scan — this shape maps onto the VPU):
 
 1. generate the 4 corners of each box;
-2. candidate intersection-polygon vertices = up to 16 edge-pair
-   intersections + up to 4 corners of A inside B + 4 of B inside A
-   (fixed 24 slots + validity mask);
+2. candidate intersection-polygon vertices = 16 edge-pair intersections
+   + 4 corners of A inside B + 4 of B inside A (fixed 24 slots + mask);
 3. the intersection of two convex polygons is convex, so ordering the
    valid candidates by angle around their centroid yields the polygon
    boundary directly — no sequential hull scan;
-4. shoelace area. Invalid slots are replaced by the first valid point,
-   which contributes zero area regardless of where it sorts.
+4. shoelace area. Invalid slots collapse onto the first valid point,
+   contributing zero area wherever they sort.
 
-Everything is fixed-shape, fully data-parallel, and differentiable-ish
-(not used for gradients; assignment only). fp32 throughout: overlap
-geometry at 1024² image scale needs the mantissa (centers are shifted
-to the pair's local frame first to keep precision, same trick the
-reference uses in single_box_iou_rotated).
+Layout: struct-of-arrays. Candidate slots live on a LEADING axis of
+shape (24, *plane) where *plane is the (rows, cols) pair grid — so the
+minor-most dims are large and lane-aligned. (A first AoS version with
+trailing (24, 2) dims forced XLA to pad the 2-lane axis ×64 and blew a
+25 GB allocation at NMS scale; this SoA form is the fix.)
+
+fp32 throughout; centers are shifted to each pair's local frame first
+to keep fp32 precision at 1024²-image coordinate scale (same trick the
+reference uses in single_box_iou_rotated, different mechanics).
 """
 from functools import partial
 
@@ -39,7 +42,7 @@ def obb_corners(boxes):
 
     Corner order (tl, tr, br, bl) in the box frame rotated by
     R(theta) = [[c, -s], [s, c]]. IoU is convention-agnostic as long as
-    both operands use the same corner generator.
+    both operands use the same generator.
     """
     cx, cy, w, h, t = [boxes[..., i] for i in range(5)]
     c, s = jnp.cos(t), jnp.sin(t)
@@ -50,99 +53,131 @@ def obb_corners(boxes):
     return jnp.stack([px, py], axis=-1)
 
 
+def _corner_planes(cx, cy, w, h, t):
+    """Plane-form corners: five (*S,) planes -> two (4, *S) coord planes."""
+    c, s = jnp.cos(t), jnp.sin(t)
+    sign_x = jnp.asarray([-0.5, 0.5, 0.5, -0.5], dtype=cx.dtype)
+    sign_y = jnp.asarray([-0.5, -0.5, 0.5, 0.5], dtype=cx.dtype)
+    shp = (4,) + (1,) * cx.ndim
+    dx = sign_x.reshape(shp) * w
+    dy = sign_y.reshape(shp) * h
+    px = c * dx - s * dy + cx
+    py = s * dx + c * dy + cy
+    return px, py
+
+
 def points_in_rbox(pts, box, eps=1e-5):
     """pts (..., 2) inside rotated box (5,)? Inclusive with tolerance."""
     cx, cy, w, h, t = [box[..., i] for i in range(5)]
     c, s = jnp.cos(t), jnp.sin(t)
     rx = pts[..., 0] - cx
     ry = pts[..., 1] - cy
-    # rotate by -theta into the box frame
     bx = c * rx + s * ry
     by = -s * rx + c * ry
     return (jnp.abs(bx) <= w / 2 + eps) & (jnp.abs(by) <= h / 2 + eps)
 
 
-def _segment_intersections(ca, cb):
-    """All 16 intersection points of edges of quad ca with edges of quad cb.
+def _points_in_quad_planes(px, py, qx, qy, eps=1e-6):
+    """px, py: (P, *S) points; qx, qy: (4, *S) convex-quad corners.
 
-    ca, cb: (4, 2) corners. Returns pts (16, 2), valid (16,).
+    Inside iff all edge cross products share a sign (orientation-free).
+    Returns (P, *S) bool.
     """
-    a0 = ca                                   # (4, 2) edge starts
-    a1 = jnp.roll(ca, -1, axis=0)             # edge ends
-    b0 = cb
-    b1 = jnp.roll(cb, -1, axis=0)
-    # broadcast to (4, 4, 2): A-edge i × B-edge j
-    p = a0[:, None, :]
-    r = (a1 - a0)[:, None, :]
-    q = b0[None, :, :]
-    s = (b1 - b0)[None, :, :]
-    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]       # (4, 4)
-    qp = q - p
-    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
-    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    ex = jnp.roll(qx, -1, axis=0) - qx            # (4, *S)
+    ey = jnp.roll(qy, -1, axis=0) - qy
+    relx = px[:, None] - qx[None]                 # (P, 4, *S)
+    rely = py[:, None] - qy[None]
+    cr = ex[None] * rely - ey[None] * relx
+    return (cr >= -eps).all(1) | (cr <= eps).all(1)
+
+
+def _edge_intersections_planes(ax, ay, bx, by):
+    """All 16 edge-pair intersections of quads A and B in plane form.
+
+    ax, ay, bx, by: (4, *S). Returns ipx, ipy (16, *S) and valid (16, *S).
+    """
+    a1x = jnp.roll(ax, -1, axis=0)
+    a1y = jnp.roll(ay, -1, axis=0)
+    b1x = jnp.roll(bx, -1, axis=0)
+    b1y = jnp.roll(by, -1, axis=0)
+    # broadcast A-edge i (axis 0) x B-edge j (axis 1) -> (4, 4, *S)
+    px, py = ax[:, None], ay[:, None]
+    rx, ry = (a1x - ax)[:, None], (a1y - ay)[:, None]
+    qx, qy = bx[None], by[None]
+    sx, sy = (b1x - bx)[None], (b1y - by)[None]
+    rxs = rx * sy - ry * sx
+    qpx, qpy = qx - px, qy - py
     denom = jnp.where(jnp.abs(rxs) < 1e-12, 1.0, rxs)
-    t = qpxs / denom
-    u = qpxr / denom
+    t = (qpx * sy - qpy * sx) / denom
+    u = (qpx * ry - qpy * rx) / denom
     ok = (jnp.abs(rxs) >= 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    pts = p + t[..., None] * r
-    return pts.reshape(16, 2), ok.reshape(16)
+    ipx = px + t * rx
+    ipy = py + t * ry
+    s = ax.shape[1:]
+    return (ipx.reshape((16,) + s), ipy.reshape((16,) + s),
+            ok.reshape((16,) + s))
 
 
-def _convex_area_from_candidates(pts, valid):
-    """Area of the convex polygon whose vertices are the valid candidates.
+def _convex_area_planes(cand_x, cand_y, valid):
+    """Area of the convex polygon per plane site.
 
-    pts (K, 2), valid (K,) bool. Invalid slots are snapped to the first
-    valid point so they collapse into a zero-area degenerate vertex.
+    cand_x/cand_y: (K, *S) candidate coords; valid: (K, *S) bool.
+    Invalid slots snap to the site's first valid point (zero area).
     """
-    num = jnp.sum(valid)
-    vf = valid.astype(pts.dtype)[:, None]
-    # first valid point (fallback 0 when none — area guards on num >= 3)
-    first_idx = jnp.argmax(valid)
-    anchor = pts[first_idx]
-    pts = jnp.where(valid[:, None], pts, anchor[None, :])
-    centroid = jnp.sum(pts * vf, axis=0) / jnp.maximum(jnp.sum(vf), 1.0)
-    rel = pts - centroid
-    ang = jnp.arctan2(rel[:, 1], rel[:, 0])
-    order = jnp.argsort(ang)
-    p = pts[order]
-    pn = jnp.roll(p, -1, axis=0)
-    area2 = jnp.sum(p[:, 0] * pn[:, 1] - pn[:, 0] * p[:, 1])
+    dtype = cand_x.dtype
+    vf = valid.astype(dtype)
+    num = jnp.sum(vf, axis=0)
+    first = jnp.argmax(valid, axis=0)                       # (*S,)
+    anchor_x = jnp.take_along_axis(cand_x, first[None], axis=0)
+    anchor_y = jnp.take_along_axis(cand_y, first[None], axis=0)
+    x = jnp.where(valid, cand_x, anchor_x)
+    y = jnp.where(valid, cand_y, anchor_y)
+    denom = jnp.maximum(num, 1.0)
+    cx = jnp.sum(x * vf, axis=0) / denom
+    cy = jnp.sum(y * vf, axis=0) / denom
+    ang = jnp.arctan2(y - cy, x - cx)
+    ang, x, y = jax.lax.sort((ang, x, y), dimension=0, num_keys=1)
+    xn = jnp.roll(x, -1, axis=0)
+    yn = jnp.roll(y, -1, axis=0)
+    area2 = jnp.sum(x * yn - xn * y, axis=0)
     return jnp.where(num >= 3, jnp.abs(area2) * 0.5, 0.0)
 
 
-def _pair_intersect_area(box_a, box_b):
-    """Exact intersection area of two (5,) rotated boxes."""
-    # Shift to a local frame around the pair midpoint for fp32 precision
-    # (same precision trick as the reference's center-shift,
-    # box_iou_rotated_utils.h:331-361 — different implementation).
-    shift = (box_a[:2] + box_b[:2]) * 0.5
-    ba = box_a.at[:2].add(-shift)
-    bb = box_b.at[:2].add(-shift)
-    ca = obb_corners(ba)
-    cb = obb_corners(bb)
-    ipts, ivalid = _segment_intersections(ca, cb)
-    a_in_b = points_in_rbox(ca, bb)
-    b_in_a = points_in_rbox(cb, ba)
-    pts = jnp.concatenate([ipts, ca, cb], axis=0)            # (24, 2)
+def _quad_intersect_area_planes(ax, ay, bx, by):
+    """Intersection area of convex quads in plane form: (4, *S) x4 -> (*S)."""
+    ipx, ipy, ivalid = _edge_intersections_planes(ax, ay, bx, by)
+    a_in_b = _points_in_quad_planes(ax, ay, bx, by)
+    b_in_a = _points_in_quad_planes(bx, by, ax, ay)
+    cand_x = jnp.concatenate([ipx, ax, bx], axis=0)          # (24, *S)
+    cand_y = jnp.concatenate([ipy, ay, by], axis=0)
     valid = jnp.concatenate([ivalid, a_in_b, b_in_a], axis=0)
-    return _convex_area_from_candidates(pts, valid)
+    return _convex_area_planes(cand_x, cand_y, valid)
 
 
-def _pair_overlap(box_a, box_b, mode='iou'):
-    inter = _pair_intersect_area(box_a, box_b)
-    area_a = box_a[2] * box_a[3]
-    area_b = box_b[2] * box_b[3]
-    denom = area_a + area_b - inter if mode == 'iou' else area_a
+def _overlap_planes(b1, b2, mode):
+    """b1 fields broadcast-shaped (*S,) x5 tuple; likewise b2."""
+    cx1, cy1, w1, h1, t1 = b1
+    cx2, cy2, w2, h2, t2 = b2
+    # local-frame shift for fp32 precision
+    mx = (cx1 + cx2) * 0.5
+    my = (cy1 + cy2) * 0.5
+    ax, ay = _corner_planes(cx1 - mx, cy1 - my, w1, h1, t1)
+    bx, by = _corner_planes(cx2 - mx, cy2 - my, w2, h2, t2)
+    inter = _quad_intersect_area_planes(ax, ay, bx, by)
+    area1 = w1 * h1
+    area2 = w2 * h2
+    denom = area1 + area2 - inter if mode == 'iou' else \
+        jnp.broadcast_to(area1, inter.shape)
     return inter / jnp.maximum(denom, EPS_AREA)
 
 
 @partial(jax.jit, static_argnames=('mode', 'row_chunk'))
-def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=1024):
+def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=256):
     """Dense (N, M) rotated IoU/IoF matrix.
 
-    Memory-bounded by chunking rows through ``lax.map`` — each chunk
-    materializes (row_chunk, M, 24, 2) candidate buffers, keeping peak
-    VMEM/HBM use flat for anchor-scale N (~200k) against padded-gt M.
+    Memory-bounded by chunking rows through ``lax.map``: each chunk
+    materializes (24, row_chunk, M) candidate planes — lane-aligned on M
+    and flat in HBM for anchor-scale N (~200k) against padded-gt M.
     """
     n = boxes1.shape[0]
     m = boxes2.shape[0]
@@ -153,19 +188,49 @@ def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=1024):
     b1 = jnp.pad(boxes1, ((0, pad), (0, 0)))
     b1 = b1.reshape(-1, row_chunk, 5)
 
-    pair_fn = jax.vmap(jax.vmap(partial(_pair_overlap, mode=mode),
-                                in_axes=(None, 0)), in_axes=(0, None))
+    def chunk_fn(rows):
+        f1 = tuple(rows[:, i][:, None] for i in range(5))      # (R, 1)
+        f2 = tuple(boxes2[:, i][None, :] for i in range(5))    # (1, M)
+        f1 = tuple(jnp.broadcast_to(a, (rows.shape[0], m)) for a in f1)
+        f2 = tuple(jnp.broadcast_to(a, (rows.shape[0], m)) for a in f2)
+        return _overlap_planes(f1, f2, mode)
 
-    out = jax.lax.map(lambda rows: pair_fn(rows, boxes2), b1)
+    out = jax.lax.map(chunk_fn, b1)
     return out.reshape(-1, m)[:n]
 
 
 @partial(jax.jit, static_argnames=('mode',))
 def rotated_iou_aligned(boxes1, boxes2, mode='iou'):
-    """Elementwise IoU of aligned (N, 5) vs (N, 5)."""
+    """Elementwise IoU of aligned (N, 5) vs (N, 5) -> (N,)."""
     if boxes1.shape[0] == 0:
         return jnp.zeros((0,), dtype=boxes1.dtype)
-    return jax.vmap(partial(_pair_overlap, mode=mode))(boxes1, boxes2)
+    f1 = tuple(boxes1[:, i] for i in range(5))
+    f2 = tuple(boxes2[:, i] for i in range(5))
+    return _overlap_planes(f1, f2, mode)
+
+
+def quad_iou_pairwise(quads1, quads2):
+    """Dense IoU of convex quads: (N, 8) x (M, 8) -> (N, M).
+
+    Used by poly-NMS (reference poly_nms_cuda.cu path).
+    """
+    n, m = quads1.shape[0], quads2.shape[0]
+    ax = jnp.broadcast_to(quads1[:, 0::2].T[:, :, None], (4, n, m))
+    ay = jnp.broadcast_to(quads1[:, 1::2].T[:, :, None], (4, n, m))
+    bx = jnp.broadcast_to(quads2[:, 0::2].T[:, None, :], (4, n, m))
+    by = jnp.broadcast_to(quads2[:, 1::2].T[:, None, :], (4, n, m))
+    inter = _quad_intersect_area_planes(ax, ay, bx, by)
+
+    def quad_area(q):
+        x = q[:, 0::2]
+        y = q[:, 1::2]
+        xn = jnp.roll(x, -1, axis=1)
+        yn = jnp.roll(y, -1, axis=1)
+        return jnp.abs(jnp.sum(x * yn - xn * y, axis=1)) * 0.5
+
+    a1 = quad_area(quads1)[:, None]
+    a2 = quad_area(quads2)[None, :]
+    return inter / jnp.maximum(a1 + a2 - inter, EPS_AREA)
 
 
 def rbbox_overlaps(bboxes1, bboxes2, mode='iou', is_aligned=False,

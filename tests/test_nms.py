@@ -1,0 +1,165 @@
+"""Rotated NMS tests vs a numpy greedy oracle built on the cv2 IoU oracle."""
+import math
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from r3det_tpu.ops.nms import (
+    rnms, batched_rnms, ml_nms_rotated, obb_batched_nms, poly_nms,
+    multiclass_nms_rotated)
+
+PI = math.pi
+RNG = np.random.RandomState(11)
+
+
+def cv2_iou(b1, b2):
+    r1 = ((float(b1[0]), float(b1[1])), (float(b1[2]), float(b1[3])),
+          float(np.degrees(b1[4])))
+    r2 = ((float(b2[0]), float(b2[1])), (float(b2[2]), float(b2[3])),
+          float(np.degrees(b2[4])))
+    ret, pts = cv2.rotatedRectangleIntersection(r1, r2)
+    inter = 0.0
+    if pts is not None and len(pts) >= 3:
+        inter = cv2.contourArea(cv2.convexHull(pts))
+    return inter / max(b1[2] * b1[3] + b2[2] * b2[3] - inter, 1e-14)
+
+
+def greedy_nms_oracle(boxes, scores, thr, labels=None):
+    """Plain-python greedy NMS: returns kept original indices, score order."""
+    order = np.argsort(-scores, kind='stable')
+    kept = []
+    for i in order:
+        ok = True
+        for j in kept:
+            if labels is not None and labels[i] != labels[j]:
+                continue
+            if cv2_iou(boxes[j], boxes[i]) > thr:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return kept
+
+
+def rand_boxes(n, scale=100.0):
+    cx = RNG.uniform(0, scale, n)
+    cy = RNG.uniform(0, scale, n)
+    w = RNG.uniform(10, 50, n)
+    h = RNG.uniform(10, 50, n)
+    a = RNG.uniform(-PI, PI, n)
+    return np.stack([cx, cy, w, h, a], -1).astype(np.float32)
+
+
+def test_rnms_matches_greedy_oracle():
+    boxes = rand_boxes(40)
+    scores = RNG.uniform(0.1, 1.0, 40).astype(np.float32)
+    dets = np.concatenate([boxes, scores[:, None]], -1)
+    keep_idx, n = rnms(jnp.asarray(dets), 0.3, max_out=40)
+    got = [int(i) for i in np.asarray(keep_idx) if i >= 0]
+    want = greedy_nms_oracle(boxes, scores, 0.3)
+    assert int(n) == len(want)
+    assert got == want
+
+
+def test_rnms_pair_keeps_higher_score():
+    boxes = np.array([[50., 50., 30., 20., 0.2],
+                      [51., 50., 30., 20., 0.2]], np.float32)
+    dets = np.concatenate([boxes, [[0.4], [0.9]]], -1).astype(np.float32)
+    keep_idx, n = rnms(jnp.asarray(dets), 0.5, max_out=2)
+    assert int(n) == 1 and int(keep_idx[0]) == 1
+
+
+def test_label_aware_keeps_cross_class_overlap():
+    boxes = np.array([[50., 50., 30., 20., 0.2],
+                      [51., 50., 30., 20., 0.2]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    labels = np.array([0, 1], np.int32)
+    (dets, out_labels), n = ml_nms_rotated(jnp.asarray(boxes),
+                                           jnp.asarray(scores),
+                                           jnp.asarray(labels), 0.3,
+                                           max_out=4)
+    assert int(n) == 2
+    assert set(np.asarray(out_labels[:2]).tolist()) == {0, 1}
+
+
+def test_batched_rnms_offset_equals_label_gating():
+    boxes = rand_boxes(30)
+    scores = RNG.uniform(0.1, 1.0, 30).astype(np.float32)
+    labels = RNG.randint(0, 3, 30).astype(np.int32)
+    (d1, l1), n1 = batched_rnms(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.asarray(labels), 0.25, max_out=30)
+    (d2, l2), n2 = ml_nms_rotated(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(labels), 0.25, max_out=30)
+    assert int(n1) == int(n2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    want = greedy_nms_oracle(boxes, scores, 0.25, labels)
+    assert int(n1) == len(want)
+
+
+def test_obb_batched_nms_skips_tiny():
+    boxes = np.array([[50., 50., 30., 20., 0.2],
+                      [50., 50., 1e-4, 20., 0.2]], np.float32)
+    scores = np.array([0.5, 0.99], np.float32)
+    labels = np.zeros(2, np.int32)
+    (dets, out_labels), n = obb_batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels), 0.3,
+        max_out=2)
+    assert int(n) == 1
+    assert dets[0, 5] == pytest.approx(0.5)   # big box survives
+
+
+def test_poly_nms_suppresses_duplicates():
+    sq = np.array([0., 0., 20., 0., 20., 20., 0., 20.])
+    shifted = sq + np.array([1., 0.] * 4)
+    polys = np.stack([np.concatenate([sq, [0.9]]),
+                      np.concatenate([shifted, [0.5]]),
+                      np.concatenate([sq + 100, [0.8]])]).astype(np.float32)
+    keep_idx, n = poly_nms(jnp.asarray(polys), 0.3, max_out=3)
+    kept = [int(i) for i in np.asarray(keep_idx) if i >= 0]
+    assert int(n) == 2 and kept == [0, 2]
+
+
+@pytest.mark.parametrize('version', ['v1', 'v2', 'v3', 'mmcv'])
+def test_multiclass_nms_basic(version):
+    n, c = 50, 4
+    boxes = rand_boxes(n)
+    scores = RNG.uniform(0, 0.6, (n, c + 1)).astype(np.float32)
+    dets, labels, num = multiclass_nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+        iou_thr=0.3, version=version, max_num=20, pre_topk=64)
+    num = int(num)
+    assert 0 < num <= 20
+    d = np.asarray(dets)
+    lab = np.asarray(labels)
+    # valid rows have positive score and label in range; pad rows zeroed
+    assert np.all(d[:num, 5] > 0.05)
+    assert np.all((lab[:num] >= 0) & (lab[:num] < c))
+    assert np.all(d[num:, 5] == 0)
+    assert np.all(lab[num:] == -1)
+    # scores descending
+    assert np.all(np.diff(d[:num, 5]) <= 1e-6)
+
+
+def test_multiclass_nms_score_thr_filters_all():
+    boxes = rand_boxes(10)
+    scores = np.full((10, 5), 0.01, np.float32)
+    dets, labels, num = multiclass_nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.5,
+        iou_thr=0.3, version='v2', max_num=8, pre_topk=16)
+    assert int(num) == 0
+    assert np.all(np.asarray(dets) == 0)
+
+
+def test_multiclass_nms_label_awareness_differs_from_blind():
+    """Same box, two strong classes: label-aware keeps both."""
+    boxes = np.tile(np.array([[50., 50., 30., 20., 0.3]], np.float32), (1, 1))
+    scores = np.zeros((1, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[0, 1] = 0.8
+    dets, labels, num = multiclass_nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+        iou_thr=0.3, version='v2', max_num=4, pre_topk=8)
+    assert int(num) == 2
