@@ -1,0 +1,5 @@
+# HBB-assignment variant of the v2 model.
+_base_ = ['./rretinanet_obb_r50_fpn_1x_dota_v2.py']
+
+angle_version = 'v2'
+model = dict(bbox_head=dict(assign_by_circumhbbox=angle_version))

@@ -1,0 +1,35 @@
+# v3 model trained on the multi-scale split with random rotation
+# augmentation (reference counterpart reproduces 77.45 box AP).
+_base_ = ['./rretinanet_obb_r50_fpn_1x_dota_v3.py']
+
+angle_version = 'v3'
+data_root = 'data/split_ms_dota1_0/'
+img_norm_cfg = dict(
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='RResize', img_scale=(1024, 1024)),
+    dict(type='RRandomFlip', flip_ratio=0.5, version=angle_version),
+    dict(
+        type='PolyRandomRotate',
+        rotate_ratio=0.5,
+        angles_range=180,
+        auto_bound=False,
+        version=angle_version),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+data = dict(
+    train=dict(
+        ann_file=data_root + 'trainval/annfiles/',
+        img_prefix=data_root + 'trainval/images/',
+        pipeline=train_pipeline),
+    val=dict(
+        ann_file=data_root + 'trainval/annfiles/',
+        img_prefix=data_root + 'trainval/images/'),
+    test=dict(
+        ann_file=data_root + 'test/images/',
+        img_prefix=data_root + 'test/images/'))

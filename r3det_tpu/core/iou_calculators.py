@@ -1,0 +1,47 @@
+"""Config-facing rotated IoU calculators.
+
+Re-provides the reference's three registry classes
+(rotate_iou2d_calculator.py:8-231). All three reference backends compute
+the same rotated-overlap quantity through different CUDA extensions; here
+they share ops.rotated_iou and differ only in the v3 small-box rule —
+the distinction is kept so `iou_calculator=dict(type='RBboxOverlaps2D_v3')`
+configs behave identically.
+"""
+from ..ops.rotated_iou import rbbox_overlaps
+
+
+class RBboxOverlaps2D_v1:
+    """v1 (rbbox_geo backend equivalent)."""
+
+    small_box_thr = None
+
+    def __call__(self, bboxes1, bboxes2, mode='iou', is_aligned=False):
+        return rbbox_overlaps(bboxes1, bboxes2, mode=mode,
+                              is_aligned=is_aligned,
+                              small_box_thr=self.small_box_thr)
+
+    def __repr__(self):
+        return self.__class__.__name__ + '()'
+
+
+class RBboxOverlaps2D_v2(RBboxOverlaps2D_v1):
+    """v2 (mmcv.ops.box_iou_rotated backend equivalent)."""
+
+
+class RBboxOverlaps2D_v3(RBboxOverlaps2D_v1):
+    """v3 (detectron2-derived backend + small-box zeroing,
+    box_iou_rotated_wrapper.py:50-60)."""
+
+    small_box_thr = 1e-3
+
+
+def rbbox_overlaps_v1(bboxes1, bboxes2, mode='iou', is_aligned=False):
+    return RBboxOverlaps2D_v1()(bboxes1, bboxes2, mode, is_aligned)
+
+
+def rbbox_overlaps_v2(bboxes1, bboxes2, mode='iou', is_aligned=False):
+    return RBboxOverlaps2D_v2()(bboxes1, bboxes2, mode, is_aligned)
+
+
+def rbbox_overlaps_v3(bboxes1, bboxes2, mode='iou', is_aligned=False):
+    return RBboxOverlaps2D_v3()(bboxes1, bboxes2, mode, is_aligned)

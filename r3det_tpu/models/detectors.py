@@ -1,0 +1,410 @@
+"""Detectors: RRetinaNet (single-stage) and R3Det (cascaded refinement).
+
+Re-provides the reference's two detectors (r3det/models/detectors/
+rretinanet.py, r3det.py) as flax modules + pure loss/predict functions.
+
+TPU-first structure (vs the reference's method-heavy nn.Modules):
+- the flax module computes ONLY the parametric forward pass;
+- anchors are trace-time numpy constants derived from static feat shapes;
+- target assignment, losses and box decoding are pure jnp functions that
+  vmap over the batch (no per-image Python loops like mmdet multi_apply);
+- inference is a single jitted function ending in shape-static NMS —
+  no device->host sync anywhere in the step.
+
+Cascade layout mirrors R3Det.forward_train (r3det.py:75-110): base head
+(s0) -> filter_bboxes -> per refine stage: FRM -> refine head (sr{i}),
+refine_bboxes between stages; losses weighted by stage_loss_weights.
+"""
+import math
+from functools import partial
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core import coders
+from ..core.anchors import RAnchorGenerator
+from ..core.targets import TargetConfig, anchor_targets, num_total_samples
+from ..ops.nms import multiclass_nms_rotated
+from .fpn import FPN
+from .frm import FeatureRefineModule
+from .losses import sigmoid_focal_loss, smooth_l1_loss
+from .resnet import ResNet
+from .retina_head import RRetinaHead
+
+
+# ---------------------------------------------------------------------------
+# Configs (hashable -> usable as jit static args)
+# ---------------------------------------------------------------------------
+
+class StageTrainCfg(NamedTuple):
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
+    assign_by_circumhbbox: Optional[str] = 'v1'
+
+
+class TestCfg(NamedTuple):
+    nms_pre: int = 2000
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.1
+    max_per_img: int = 2000
+    nms_version: str = 'v1'
+
+
+class DetectorConfig(NamedTuple):
+    num_classes: int = 15
+    angle_version: str = 'v1'
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    ratios: Tuple[float, ...] = (1.0, 0.5, 2.0)
+    octave_base_scale: int = 4
+    scales_per_octave: int = 3
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    num_refine_stages: int = 0                      # 0 => RRetinaNet
+    stage_loss_weights: Tuple[float, ...] = ()
+    s0_train: StageTrainCfg = StageTrainCfg()
+    sr_train: Tuple[StageTrainCfg, ...] = ()
+    test: TestCfg = TestCfg()
+    target_means: Tuple[float, ...] = (0., 0., 0., 0., 0.)
+    target_stds: Tuple[float, ...] = (1., 1., 1., 1., 1.)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    smooth_l1_beta: float = 0.11
+    loss_bbox_type: str = 'smooth_l1'    # 'smooth_l1' | 'l1'
+    frozen_stages: int = 1
+    backbone_depth: int = 50
+    hbb_anchors: bool = False   # base head keeps horizontal (xyxy) anchors
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ratios) * self.scales_per_octave
+
+    def coder(self):
+        if self.hbb_anchors:
+            return coders.DeltaXYWHAHBBoxCoder(
+                self.target_means, self.target_stds, self.angle_version)
+        return coders.DeltaXYWHAOBBoxCoder(
+            self.target_means, self.target_stds, self.angle_version)
+
+    def anchor_generator(self) -> RAnchorGenerator:
+        return RAnchorGenerator(
+            strides=self.strides, ratios=self.ratios,
+            octave_base_scale=self.octave_base_scale,
+            scales_per_octave=self.scales_per_octave)
+
+
+# Shipped-config presets. Parity notes:
+# - R3Det s0 assigns by circumscribed hbb ('v1' default in RAnchorHead),
+#   refine stages assign with true rotated IoU (r3det_r50_fpn_1x_dota_v1.py:
+#   58,73-97); loss_bbox SmoothL1 beta=0.11.
+# - RRetinaNet OBB variants assign with true rotated IoU
+#   (assign_by_circumhbbox=None) and use L1 loss
+#   (rretinanet_obb_r50_fpn_1x_dota_v1.py:30,48).
+# - RRetinaNet HBB variants only flip assign_by_circumhbbox to the angle
+#   version (rretinanet_hbb_r50_fpn_1x_dota_v1.py:4).
+R3DET_R50_V1 = DetectorConfig(
+    num_refine_stages=1, stage_loss_weights=(1.0,),
+    s0_train=StageTrainCfg(0.5, 0.4, 0.0, 'v1'),
+    sr_train=(StageTrainCfg(0.6, 0.5, 0.0, None),))
+
+def _rretinanet(version, circum):
+    return DetectorConfig(
+        angle_version=version,
+        s0_train=StageTrainCfg(0.5, 0.4, 0.0,
+                               version if circum else None),
+        test=TestCfg(nms_version=version),
+        loss_bbox_type='l1')
+
+RRETINANET_OBB_V1 = _rretinanet('v1', False)
+RRETINANET_OBB_V2 = _rretinanet('v2', False)
+RRETINANET_OBB_V3 = _rretinanet('v3', False)
+RRETINANET_HBB_V1 = _rretinanet('v1', True)
+RRETINANET_HBB_V2 = _rretinanet('v2', True)
+RRETINANET_HBB_V3 = _rretinanet('v3', True)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class RRetinaNet(nn.Module):
+    """Backbone + FPN + rotated retina head. Forward only."""
+    cfg: DetectorConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images):
+        feats = ResNet(depth=self.cfg.backbone_depth,
+                       frozen_stages=self.cfg.frozen_stages,
+                       dtype=self.dtype, name='backbone')(images)
+        feats = FPN(out_channels=self.cfg.feat_channels, dtype=self.dtype,
+                    name='neck')(feats)
+        cls_scores, bbox_preds = RRetinaHead(
+            num_classes=self.cfg.num_classes,
+            feat_channels=self.cfg.feat_channels,
+            stacked_convs=self.cfg.stacked_convs,
+            num_anchors=self.cfg.num_anchors,
+            dtype=self.dtype, name='bbox_head')(feats)
+        return {'s0': (cls_scores, bbox_preds)}
+
+
+class R3Det(nn.Module):
+    """R3Det = RRetinaNet base + N x (FRM + refine head).
+
+    Returns dict with 's0', 'sr' (list of per-stage outputs) and 'rois'
+    (list of per-stage roi pytrees: per level (B, H*W, 5)).
+    """
+    cfg: DetectorConfig
+    dtype: Any = jnp.bfloat16
+    frm_points: int = 1
+    frm_transpose_quirk: bool = True
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.cfg
+        feats = ResNet(depth=cfg.backbone_depth,
+                       frozen_stages=cfg.frozen_stages,
+                       dtype=self.dtype, name='backbone')(images)
+        feats = FPN(out_channels=cfg.feat_channels, dtype=self.dtype,
+                    name='neck')(feats)
+        cls0, reg0 = RRetinaHead(
+            num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
+            stacked_convs=cfg.stacked_convs, num_anchors=cfg.num_anchors,
+            dtype=self.dtype, name='bbox_head')(feats)
+
+        anchors = level_anchors(cfg, [f.shape[1:3] for f in cls0])
+        coder = cfg.coder()
+        rois = filter_bboxes(cls0, reg0, anchors, coder, cfg)
+
+        out = {'s0': (cls0, reg0), 'sr': [], 'rois': []}
+        for stage in range(cfg.num_refine_stages):
+            feats = FeatureRefineModule(
+                in_channels=cfg.feat_channels, featmap_strides=cfg.strides,
+                points=self.frm_points,
+                transpose_quirk=self.frm_transpose_quirk,
+                dtype=self.dtype, name=f'frm_{stage}')(feats, rois)
+            cls_i, reg_i = RRetinaHead(
+                num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
+                stacked_convs=cfg.stacked_convs, num_anchors=1,
+                dtype=self.dtype, name=f'refine_head_{stage}')(feats)
+            out['sr'].append((cls_i, reg_i))
+            out['rois'].append(rois)
+            if stage + 1 < cfg.num_refine_stages:
+                rois = refine_rois(reg_i, rois, coder)
+        return out
+
+
+def build_detector(cfg: DetectorConfig, dtype=jnp.bfloat16, **kwargs):
+    if cfg.num_refine_stages > 0:
+        return R3Det(cfg=cfg, dtype=dtype, **kwargs)
+    return RRetinaNet(cfg=cfg, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pure helpers (trace-time anchors, cascade box plumbing)
+# ---------------------------------------------------------------------------
+
+def level_anchors(cfg: DetectorConfig, featmap_sizes):
+    """Per-level (H*W*A, 5) anchors as trace-time constants."""
+    gen = cfg.anchor_generator()
+    return [jnp.asarray(a) for a in gen.grid_anchors(featmap_sizes)]
+
+
+def filter_bboxes(cls_scores, bbox_preds, anchors, coder, cfg):
+    """Best-anchor decode per position (R3Det pre-refine step).
+
+    Parity: rotate_retina_head.py:117-179. Per level: keep the single
+    anchor with the highest class score at each position and decode it.
+    Returns per-level (B, H*W, 5).
+    """
+    a = cfg.num_anchors
+    c = cfg.num_classes
+    rois = []
+    for cls, reg, anc in zip(cls_scores, bbox_preds, anchors):
+        b, h, w, _ = cls.shape
+        cls = cls.reshape(b, h * w, a, c)
+        reg = reg.reshape(b, h * w, a, 5)
+        anc = anc.reshape(h * w, a, 5)
+        best = cls.max(-1).argmax(-1)                        # (B, HW)
+        best_reg = jnp.take_along_axis(
+            reg, best[..., None, None].repeat(5, -1), axis=2).squeeze(2)
+        best_anc = jnp.take_along_axis(
+            jnp.broadcast_to(anc[None], (b, h * w, a, 5)),
+            best[..., None, None].repeat(5, -1), axis=2).squeeze(2)
+        rois.append(jax.lax.stop_gradient(
+            coder.decode(best_anc, best_reg)))
+    return rois
+
+
+def refine_rois(bbox_preds, rois, coder):
+    """Decode refine-head deltas against current rois (between stages).
+
+    Parity: rotate_retina_refine_head.py:56-97.
+    """
+    out = []
+    for reg, roi in zip(bbox_preds, rois):
+        b, h, w, _ = reg.shape
+        reg = reg.reshape(b, h * w, 5)
+        out.append(jax.lax.stop_gradient(coder.decode(roi, reg)))
+    return out
+
+
+def _flatten_levels(cls_scores, bbox_preds, num_classes):
+    """Level lists of (B, H, W, A*C)/(B, H, W, A*5) -> (B, N, C)/(B, N, 5)."""
+    cls_flat, reg_flat = [], []
+    for cls, reg in zip(cls_scores, bbox_preds):
+        b = cls.shape[0]
+        cls_flat.append(cls.reshape(b, -1, num_classes))
+        reg_flat.append(reg.reshape(b, -1, 5))
+    return jnp.concatenate(cls_flat, 1), jnp.concatenate(reg_flat, 1)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def head_loss(cls_scores, bbox_preds, anchors, gt_bboxes, gt_labels,
+              gt_mask, cfg: DetectorConfig, stage: StageTrainCfg,
+              coder, per_image_anchors=False):
+    """Loss of one head over all levels (focal + smooth L1).
+
+    The reference computes per-level losses then sums (rotate_anchor_
+    head.py:381-427 + 487-497); with a global avg_factor the result is
+    identical computed once over the concatenated levels.
+    """
+    cls_flat, reg_flat = _flatten_levels(cls_scores, bbox_preds,
+                                         cfg.num_classes)
+    tcfg = TargetConfig(
+        pos_iou_thr=stage.pos_iou_thr, neg_iou_thr=stage.neg_iou_thr,
+        min_pos_iou=stage.min_pos_iou,
+        assign_by_circumhbbox=stage.assign_by_circumhbbox,
+        angle_version=cfg.angle_version,
+        hbb_anchors=cfg.hbb_anchors and not per_image_anchors)
+    tgts = anchor_targets(anchors, gt_bboxes, gt_labels, gt_mask,
+                          coder.encode, cfg.num_classes, tcfg,
+                          per_image_anchors=per_image_anchors)
+    nts = num_total_samples(tgts.num_pos)
+    loss_cls = sigmoid_focal_loss(
+        cls_flat.reshape(-1, cfg.num_classes), tgts.labels.reshape(-1),
+        tgts.label_weights.reshape(-1), cfg.num_classes, nts,
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+    if cfg.loss_bbox_type == 'l1':
+        from .losses import l1_loss
+        loss_bbox = l1_loss(
+            reg_flat.reshape(-1, 5), tgts.bbox_targets.reshape(-1, 5),
+            tgts.bbox_weights.reshape(-1), nts)
+    else:
+        loss_bbox = smooth_l1_loss(
+            reg_flat.reshape(-1, 5), tgts.bbox_targets.reshape(-1, 5),
+            tgts.bbox_weights.reshape(-1), nts, beta=cfg.smooth_l1_beta)
+    return loss_cls, loss_bbox
+
+
+def detector_loss(outputs, cfg: DetectorConfig, featmap_sizes, gt_bboxes,
+                  gt_labels, gt_mask):
+    """Full train loss: s0 + weighted sr stages.
+
+    Parity: R3Det.forward_train (r3det.py:75-110) — losses keyed
+    's0.loss_cls', 'sr0.loss_bbox', ... with stage_loss_weights applied
+    to refine stages.
+    """
+    coder = cfg.coder()
+    anchors = level_anchors(cfg, featmap_sizes)
+    anchors_flat = jnp.concatenate(anchors, 0)
+    if cfg.hbb_anchors:
+        from ..core import rtransforms as rt
+        anchors_flat = rt.obb2xyxy(anchors_flat, cfg.angle_version)
+
+    losses = {}
+    cls0, reg0 = outputs['s0']
+    lc, lb = head_loss(cls0, reg0, anchors_flat, gt_bboxes, gt_labels,
+                       gt_mask, cfg, cfg.s0_train, coder)
+    losses['s0.loss_cls'] = lc
+    losses['s0.loss_bbox'] = lb
+
+    refine_coder = coders.DeltaXYWHAOBBoxCoder(
+        cfg.target_means, cfg.target_stds, cfg.angle_version)
+    for i, (cls_i, reg_i) in enumerate(outputs.get('sr', [])):
+        rois = outputs['rois'][i]
+        rois_flat = jnp.concatenate(rois, 1)              # (B, N, 5)
+        w = cfg.stage_loss_weights[i]
+        lc, lb = head_loss(cls_i, reg_i, rois_flat, gt_bboxes, gt_labels,
+                           gt_mask, cfg, cfg.sr_train[i], refine_coder,
+                           per_image_anchors=True)
+        losses[f'sr{i}.loss_cls'] = lc * w
+        losses[f'sr{i}.loss_bbox'] = lb * w
+
+    losses['total'] = sum(v for k, v in losses.items() if k != 'total')
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+
+def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
+                     img_shape=None, scale_factor=None):
+    """Decode + NMS for a batch. Returns (dets (B, max_per_img, 6),
+    labels (B, max_per_img), num (B,)).
+
+    Parity: RAnchorHead.get_bboxes/_get_bboxes_single (rotate_anchor_
+    head.py:499-675): per-level top-nms_pre by max class score, decode
+    (angle not rescaled), sigmoid scores + BG padding column, version-
+    matched multiclass NMS.
+    """
+    coder = cfg.coder()
+    if outputs.get('sr'):
+        cls_scores, bbox_preds = outputs['sr'][-1]
+        rois = outputs['rois'][-1]
+        anchors = None
+        refine_coder = coders.DeltaXYWHAOBBoxCoder(
+            cfg.target_means, cfg.target_stds, cfg.angle_version)
+        coder = refine_coder
+    else:
+        cls_scores, bbox_preds = outputs['s0']
+        anchors = level_anchors(cfg, featmap_sizes)
+        rois = None
+
+    t = cfg.test
+    b = cls_scores[0].shape[0]
+    mlvl_boxes, mlvl_scores = [], []
+    for lvl, (cls, reg) in enumerate(zip(cls_scores, bbox_preds)):
+        n_pos = cls.shape[1] * cls.shape[2]
+        cls = cls.reshape(b, -1, cfg.num_classes)
+        reg = reg.reshape(b, -1, 5)
+        scores = jax.nn.sigmoid(cls)
+        if rois is not None:
+            anc = rois[lvl]                                # (B, N, 5)
+        else:
+            anc = jnp.broadcast_to(anchors[lvl][None],
+                                   (b,) + anchors[lvl].shape)
+        k = min(t.nms_pre, scores.shape[1])
+        if k < scores.shape[1]:
+            max_scores = scores.max(-1)
+            _, topk = jax.lax.top_k(max_scores, k)
+            scores = jnp.take_along_axis(scores, topk[..., None], axis=1)
+            reg = jnp.take_along_axis(reg, topk[..., None], axis=1)
+            anc = jnp.take_along_axis(anc, topk[..., None], axis=1)
+        boxes = coder.decode(anc, reg, max_shape=img_shape)
+        mlvl_boxes.append(boxes)
+        mlvl_scores.append(scores)
+
+    boxes = jnp.concatenate(mlvl_boxes, 1)                 # (B, N, 5)
+    scores = jnp.concatenate(mlvl_scores, 1)               # (B, N, C)
+    if scale_factor is not None:
+        sf = jnp.asarray(scale_factor, dtype=boxes.dtype)  # (4,) wh wh
+        boxes = boxes.at[..., :4].set(boxes[..., :4] / sf)
+    # BG padding column (sigmoid heads), reference :662-667
+    scores = jnp.concatenate(
+        [scores, jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)], -1)
+
+    nms_one = partial(multiclass_nms_rotated,
+                      score_thr=t.score_thr, iou_thr=t.nms_iou_thr,
+                      version=t.nms_version, max_num=t.max_per_img,
+                      pre_topk=min(t.nms_pre, boxes.shape[1]))
+    dets, labels, num = jax.vmap(lambda bx, sc: nms_one(bx, sc))(
+        boxes, scores)
+    return dets, labels, num

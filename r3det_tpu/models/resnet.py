@@ -1,0 +1,119 @@
+"""ResNet backbone (flax), TPU-first.
+
+Re-provides the backbone the reference configs import from mmdet
+(configs/r3det/r3det_r50_fpn_1x_dota_v1.py:8-18: ResNet-50, out_indices
+(0,1,2,3), frozen_stages=1, norm_eval=True, style='pytorch').
+
+TPU-native choices:
+- NHWC layout (XLA's native conv layout on TPU).
+- BatchNorm is folded to FrozenBN (scale/bias with constant running
+  stats): the reference always runs BN in eval mode (`norm_eval=True`),
+  so statistics are never updated — on TPU that makes BN a fusable
+  elementwise affine, which XLA merges into the surrounding convs.
+  Affine params stay trainable except in frozen stages.
+- ``frozen_stages`` is realized functionally with stop_gradient rather
+  than optimizer masking, so one optimizer covers every param.
+- bf16 compute / fp32 params via the ``dtype`` field.
+"""
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBN(nn.Module):
+    """Affine-only BatchNorm: y = scale * (x - mean) / sqrt(var+eps) + bias.
+
+    mean/var are non-trainable variables (collection 'batch_stats') filled
+    from pretrained checkpoints; scale/bias are params.
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((self.features,)))
+        inv = (scale * jax.lax.rsqrt(var.value + self.eps)).astype(self.dtype)
+        b = (bias - mean.value * scale *
+             jax.lax.rsqrt(var.value + self.eps)).astype(self.dtype)
+        return x * inv + b
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck, 'pytorch style' (stride on the
+    3x3), matching torchvision/mmcv ResNet."""
+    features: int                 # bottleneck width; out = features * 4
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        y = FrozenBN(self.features, dtype=self.dtype, name='bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name='conv2')(y)
+        y = FrozenBN(self.features, dtype=self.dtype, name='bn2')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv3')(y)
+        y = FrozenBN(self.features * 4, dtype=self.dtype, name='bn3')(y)
+        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            residual = FrozenBN(self.features * 4, dtype=self.dtype,
+                                name='downsample_bn')(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-D{18,34 not needed}/50/101/152 trunk emitting C2..C5 (NHWC).
+
+    depth 50 -> blocks (3, 4, 6, 3).
+    """
+    depth: int = 50
+    frozen_stages: int = 1        # 1 => stem + layer1 frozen (mmcv meaning)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = jnp.float32
+
+    @property
+    def stage_blocks(self) -> Tuple[int, ...]:
+        return {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                152: (3, 8, 36, 3)}[self.depth]
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = FrozenBN(64, dtype=self.dtype, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        widths = (64, 128, 256, 512)
+        for stage, num_blocks in enumerate(self.stage_blocks):
+            for blk in range(num_blocks):
+                stride = 2 if (blk == 0 and stage > 0) else 1
+                x = Bottleneck(widths[stage], stride=stride,
+                               dtype=self.dtype,
+                               name=f'layer{stage + 1}_{blk}')(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

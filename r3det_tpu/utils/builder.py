@@ -1,0 +1,106 @@
+"""Config-dict -> DetectorConfig translation.
+
+Re-provides the reference's registry-driven model construction
+(`build_detector(cfg.model)` via mmcv registries — tools/train.py:152-156)
+for reference-style config files: the mmdet dict schema is mapped onto
+the functional DetectorConfig. Unknown/default-matching knobs are
+accepted and ignored with a warning rather than erroring, so stock
+r3det configs load.
+"""
+import warnings
+
+from ..models.detectors import (DetectorConfig, StageTrainCfg, TestCfg,
+                                build_detector)
+
+
+def _stage_from_assigner(train_cfg, default_circum):
+    a = train_cfg.get('assigner', {})
+    return StageTrainCfg(
+        pos_iou_thr=a.get('pos_iou_thr', 0.5),
+        neg_iou_thr=a.get('neg_iou_thr', 0.4),
+        min_pos_iou=a.get('min_pos_iou', 0.0),
+        assign_by_circumhbbox=default_circum)
+
+
+def detector_config_from_dict(model: dict, train_cfg: dict = None,
+                              test_cfg: dict = None) -> DetectorConfig:
+    """Map an mmdet-style model dict (+train/test cfg) to DetectorConfig."""
+    model = dict(model)
+    train_cfg = dict(train_cfg or model.get('train_cfg') or {})
+    test_cfg = dict(test_cfg or model.get('test_cfg') or {})
+    head = dict(model.get('bbox_head', {}))
+    ag = dict(head.get('anchor_generator', {}))
+    coder = dict(head.get('bbox_coder', {}))
+    loss_bbox = dict(head.get('loss_bbox', {}))
+    loss_cls = dict(head.get('loss_cls', {}))
+    angle_version = coder.get('angle_range', 'v1')
+
+    is_r3det = model.get('type') == 'R3Det'
+    num_refine = model.get('num_refine_stages', 0) if is_r3det else 0
+
+    # assign_by_circumhbbox: RAnchorHead defaults to 'v1' when unset
+    circum = head.get('assign_by_circumhbbox', 'v1')
+
+    if is_r3det:
+        s0 = _stage_from_assigner(train_cfg.get('s0', {}), circum)
+        sr = []
+        for i, sr_cfg in enumerate(train_cfg.get('sr', [])):
+            rh = (model.get('refine_heads') or [{}] * (i + 1))[i]
+            sr.append(_stage_from_assigner(
+                sr_cfg, rh.get('assign_by_circumhbbox', None)))
+        stage_w = tuple(train_cfg.get('stage_loss_weights',
+                                      [1.0] * num_refine))
+        sr = tuple(sr) if sr else tuple(
+            StageTrainCfg(0.6, 0.5, 0.0, None) for _ in range(num_refine))
+    else:
+        s0 = _stage_from_assigner(train_cfg, circum)
+        sr, stage_w = (), ()
+
+    nms = dict(test_cfg.get('nms', {}))
+    nms_version = nms.get('type', angle_version)
+    if nms_version not in ('v1', 'v2', 'v3', 'mmcv'):
+        warnings.warn(f'unknown nms type {nms_version!r}; '
+                      f'falling back to angle version {angle_version}')
+        nms_version = angle_version
+
+    lb_type = loss_bbox.get('type', 'SmoothL1Loss')
+    cfg = DetectorConfig(
+        num_classes=head.get('num_classes', 15),
+        angle_version=angle_version,
+        strides=tuple(ag.get('strides', (8, 16, 32, 64, 128))),
+        ratios=tuple(ag.get('ratios', (1.0, 0.5, 2.0))),
+        octave_base_scale=ag.get('octave_base_scale', 4),
+        scales_per_octave=ag.get('scales_per_octave', 3),
+        stacked_convs=head.get('stacked_convs', 4),
+        feat_channels=head.get('feat_channels', 256),
+        num_refine_stages=num_refine,
+        stage_loss_weights=stage_w,
+        s0_train=s0, sr_train=sr,
+        test=TestCfg(
+            nms_pre=test_cfg.get('nms_pre', 2000),
+            score_thr=test_cfg.get('score_thr', 0.05),
+            nms_iou_thr=nms.get('iou_thr', 0.1),
+            max_per_img=test_cfg.get('max_per_img', 2000),
+            nms_version=nms_version),
+        target_means=tuple(coder.get('target_means', (0.,) * 5)),
+        target_stds=tuple(coder.get('target_stds', (1.,) * 5)),
+        focal_gamma=loss_cls.get('gamma', 2.0),
+        focal_alpha=loss_cls.get('alpha', 0.25),
+        smooth_l1_beta=loss_bbox.get('beta', 0.11),
+        loss_bbox_type='l1' if lb_type == 'L1Loss' else 'smooth_l1',
+        frozen_stages=model.get('backbone', {}).get('frozen_stages', 1),
+        backbone_depth=model.get('backbone', {}).get('depth', 50),
+    )
+    return cfg
+
+
+def build_from_config(cfg, dtype=None):
+    """Config (utils.config.Config or dict) -> (flax model, DetectorConfig)."""
+    import jax.numpy as jnp
+    cfg_dict = cfg.to_dict() if hasattr(cfg, 'to_dict') else dict(cfg)
+    model_d = cfg_dict['model']
+    det_cfg = detector_config_from_dict(
+        model_d, model_d.get('train_cfg') or cfg_dict.get('train_cfg'),
+        model_d.get('test_cfg') or cfg_dict.get('test_cfg'))
+    model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16)
+    return model, det_cfg

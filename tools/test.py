@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Evaluate / format results for a rotated detector.
+
+Re-provides the reference's tools/test.py surface: load a checkpoint,
+run inference over the test set, then either --eval mAP (DOTA polygon
+mAP) or --format-only (merge patches + write Task1 submission zip).
+"""
+import argparse
+import os.path as osp
+import pickle
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Test a rotated detector')
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None,
+                   help='orbax checkpoint dir (omit for random weights)')
+    p.add_argument('--out', default=None, help='dump raw results pickle')
+    p.add_argument('--eval', default=None, choices=[None, 'mAP'])
+    p.add_argument('--format-only', action='store_true')
+    p.add_argument('--format-dir', default='submission')
+    p.add_argument('--img-size', type=int, default=1024)
+    p.add_argument('--batch-size', type=int, default=4)
+    p.add_argument('--cfg-options', nargs='+', default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from r3det_tpu.utils.config import Config
+    from r3det_tpu.utils.builder import build_from_config
+    from r3det_tpu.parallel.mesh import make_predict_step
+    from r3det_tpu.datasets.dota import DOTADataset
+    from r3det_tpu.datasets.transforms import Normalize, Pad, RResize
+    from r3det_tpu.core.rtransforms_np import rbbox2result
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
+    model, det_cfg = build_from_config(cfg)
+
+    test_d = cfg.data.test if not args.eval else cfg.data.val
+    ds = DOTADataset(test_d.ann_file, test_d.get('img_prefix'),
+                     version=det_cfg.angle_version, filter_empty=False,
+                     test_mode=not args.eval)
+    print(f'{len(ds)} images')
+
+    size = args.img_size
+    sample = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample)
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+        payload = ocp.PyTreeCheckpointer().restore(
+            osp.abspath(args.checkpoint))
+        variables = {'params': payload['params'],
+                     'batch_stats': payload.get('batch_stats', {})}
+        print(f'loaded {args.checkpoint}')
+
+    featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
+    predict = make_predict_step(model, det_cfg, featmap_sizes,
+                                img_shape=(size, size))
+    pipeline = [RResize((size, size)), Normalize(), Pad(32)]
+
+    results = []
+    bs = args.batch_size
+    t0 = time.time()
+    for start in range(0, len(ds), bs):
+        batch_samples = []
+        for i in range(start, min(start + bs, len(ds))):
+            r = ds.get_sample(i)
+            for stage in pipeline:
+                r = stage(r)
+            batch_samples.append(r)
+        imgs = np.stack([s['img'] for s in batch_samples])
+        if len(imgs) < bs:   # pad the tail batch
+            pad = np.repeat(imgs[-1:], bs - len(imgs), axis=0)
+            imgs = np.concatenate([imgs, pad])
+        dets, labels, num = jax.device_get(
+            predict(variables, jnp.asarray(imgs)))
+        for bi, s in enumerate(batch_samples):
+            n = int(num[bi])
+            d = dets[bi, :n].astype(np.float32)
+            # undo resize (angle not rescaled)
+            d[:, :4] /= s['scale_factor']
+            results.append(rbbox2result(d, labels[bi, :n],
+                                        det_cfg.num_classes))
+        done = min(start + bs, len(ds))
+        if (start // bs) % 20 == 0:
+            print(f'{done}/{len(ds)}  '
+                  f'({done / (time.time() - t0):.1f} img/s)')
+
+    if args.out:
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+        print(f'raw results -> {args.out}')
+    if args.format_only:
+        zip_path = ds.format_results(results, args.format_dir)
+        print(f'submission -> {zip_path}')
+    if args.eval == 'mAP':
+        metrics = ds.evaluate(results)
+        print({k: round(v, 4) for k, v in metrics.items()})
+
+
+if __name__ == '__main__':
+    main()

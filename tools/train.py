@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Train a rotated detector from a config file.
+
+Re-provides the reference's tools/train.py surface (config file +
+--cfg-options + --work-dir + --resume-from) on the JAX/TPU stack:
+data-parallel over every local chip via a 1-D mesh, orbax checkpoints,
+text logging. Multi-host: run the same command per host after
+`jax.distributed.initialize` env wiring (no launcher script needed).
+
+Also supports --synthetic for data-free smoke/perf runs.
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a rotated detector')
+    p.add_argument('config', help='config file path')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--max-steps', type=int, default=None,
+                   help='override total steps (default: epochs * len(loader))')
+    p.add_argument('--synthetic', action='store_true',
+                   help='train on synthetic data (no dataset needed)')
+    p.add_argument('--img-size', type=int, default=1024)
+    p.add_argument('--log-interval', type=int, default=50)
+    p.add_argument('--pretrained-backbone', default=None,
+                   help='path to a torchvision resnet .pth/.npz state dict')
+    p.add_argument('--cfg-options', nargs='+', default=[],
+                   help='key=value dotted-path config overrides')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from r3det_tpu.utils.config import Config
+    from r3det_tpu.utils.builder import build_from_config
+    from r3det_tpu.utils.checkpoint import (load_pretrained_backbone,
+                                            restore_checkpoint,
+                                            save_checkpoint)
+    from r3det_tpu.parallel.mesh import (init_train_state, make_lr_schedule,
+                                         make_mesh, make_optimizer,
+                                         make_train_step, replicate,
+                                         shard_batch)
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
+    work_dir = args.work_dir or osp.join(
+        'work_dirs', osp.splitext(osp.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+
+    model, det_cfg = build_from_config(cfg)
+    print(f'model: {type(model).__name__}  angle={det_cfg.angle_version}  '
+          f'refine_stages={det_cfg.num_refine_stages}')
+    print(f'devices: {jax.devices()}')
+
+    # ---- data -------------------------------------------------------
+    batch_size = cfg.get('data', Config({})).get('samples_per_gpu', 2) * \
+        jax.local_device_count()
+    size = args.img_size
+    if args.synthetic:
+        from r3det_tpu.datasets.loader import SyntheticDetData
+        loader = SyntheticDetData(batch_size=batch_size, size=size,
+                                  num_classes=det_cfg.num_classes,
+                                  version=det_cfg.angle_version,
+                                  seed=args.seed)
+        iters_per_epoch = 100
+    else:
+        from r3det_tpu.datasets.dota import DOTADataset
+        from r3det_tpu.datasets.loader import DetLoader
+        from r3det_tpu.datasets.transforms import TrainPipeline
+        train_d = cfg.data.train
+        ds = DOTADataset(train_d.ann_file,
+                         train_d.get('img_prefix'),
+                         version=det_cfg.angle_version)
+        with_rotate = any(s.get('type') == 'PolyRandomRotate'
+                          for s in train_d.get('pipeline', []))
+        pipeline = TrainPipeline(img_scale=(size, size),
+                                 version=det_cfg.angle_version,
+                                 with_rotate=with_rotate, seed=args.seed)
+        loader = DetLoader(ds, pipeline, batch_size=batch_size,
+                           seed=args.seed)
+        iters_per_epoch = len(loader)
+
+    max_epochs = cfg.get('runner', Config({})).get('max_epochs', 12)
+    total_steps = args.max_steps or max_epochs * iters_per_epoch
+    opt_cfg = cfg.get('optimizer', Config({}))
+    lr_cfg = cfg.get('lr_config', Config({}))
+    lr_schedule = make_lr_schedule(
+        base_lr=opt_cfg.get('lr', 2.5e-3),
+        warmup_iters=lr_cfg.get('warmup_iters', 500),
+        warmup_ratio=lr_cfg.get('warmup_ratio', 1.0 / 3),
+        step_epochs=lr_cfg.get('step', [8, 11]),
+        iters_per_epoch=iters_per_epoch)
+    tx = make_optimizer(
+        lr_schedule, momentum=opt_cfg.get('momentum', 0.9),
+        weight_decay=opt_cfg.get('weight_decay', 1e-4),
+        clip_norm=cfg.get('optimizer_config', Config({})).get(
+            'grad_clip', Config({})).get('max_norm', 35.0))
+
+    # ---- state ------------------------------------------------------
+    mesh = make_mesh()
+    sample = jnp.zeros((1, size, size, 3), jnp.float32)
+    state = init_train_state(model, jax.random.PRNGKey(args.seed), sample,
+                             tx=tx)
+    if args.pretrained_backbone:
+        sd = _load_state_dict(args.pretrained_backbone)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        variables = load_pretrained_backbone(variables, sd,
+                                             det_cfg.backbone_depth)
+        state = state.replace(params=variables['params'],
+                              batch_stats=variables['batch_stats'])
+        print(f'loaded pretrained backbone from {args.pretrained_backbone}')
+    if args.resume_from:
+        state = restore_checkpoint(args.resume_from, state)
+        print(f'resumed from {args.resume_from} @ step {int(state.step)}')
+    state = replicate(state, mesh)
+
+    featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
+    step_fn = make_train_step(model, det_cfg, featmap_sizes, mesh)
+
+    # ---- loop -------------------------------------------------------
+    log_path = osp.join(work_dir, 'train_log.jsonl')
+    ckpt_interval = cfg.get('checkpoint_config', Config({})).get(
+        'interval', 12) * iters_per_epoch
+    t0 = time.time()
+    step_i = int(jax.device_get(state.step))
+    data_iter = iter(loader)
+    with open(log_path, 'a') as logf:
+        while step_i < total_steps:
+            try:
+                batch = next(data_iter)
+            except StopIteration:
+                data_iter = iter(loader)
+                batch = next(data_iter)
+            batch = shard_batch(batch, mesh)
+            state, losses = step_fn(state, batch)
+            step_i += 1
+            if step_i % args.log_interval == 0 or step_i == total_steps:
+                losses = {k: float(v) for k, v in
+                          jax.device_get(losses).items()}
+                dt = time.time() - t0
+                ips = args.log_interval * batch['image'].shape[0] / dt
+                rec = dict(step=step_i, imgs_per_sec=round(ips, 2),
+                           lr=float(lr_schedule(step_i)), **losses)
+                print('  '.join(f'{k}={v:.4f}' if isinstance(v, float)
+                                else f'{k}={v}' for k, v in rec.items()))
+                logf.write(json.dumps(rec) + '\n')
+                logf.flush()
+                t0 = time.time()
+            if step_i % max(ckpt_interval, 1) == 0 or step_i == total_steps:
+                path = save_checkpoint(osp.join(work_dir, 'ckpt'), step_i,
+                                       jax.device_get(state))
+                print(f'checkpoint -> {path}')
+
+
+def _load_state_dict(path):
+    if path.endswith('.npz'):
+        return dict(np.load(path))
+    import torch
+    sd = torch.load(path, map_location='cpu')
+    return sd.get('state_dict', sd)
+
+
+if __name__ == '__main__':
+    main()
