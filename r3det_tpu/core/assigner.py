@@ -51,6 +51,10 @@ def max_iou_assign(overlaps: jnp.ndarray,
     assigned = jnp.full(max_overlaps.shape, -1, dtype=jnp.int32)
     assigned = jnp.where((max_overlaps >= 0) & (max_overlaps < neg_iou_thr),
                          0, assigned)
+    # no (valid) gt at all: every anchor is a negative, not ignored —
+    # mmdet's num_gt == 0 branch; keeps background supervision alive on
+    # empty images.
+    assigned = jnp.where(gt_mask.any(), assigned, 0)
     assigned = jnp.where(max_overlaps >= pos_iou_thr,
                          argmax_overlaps.astype(jnp.int32) + 1, assigned)
 

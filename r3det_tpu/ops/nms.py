@@ -36,15 +36,32 @@ def _greedy_keep(iou, valid, iou_thr):
 
     iou: (K, K) pairwise IoU of the sorted boxes; valid: (K,) bool.
     Returns keep mask (K,). Exactly matches sequential greedy NMS.
+
+    Fixpoint formulation instead of a K-step sequential sweep: iterate
+    k <- valid & ~any_j (S[j, i] & k[j]) with S the strictly-upper
+    suppression relation. Because suppression only flows from lower to
+    higher indices (a DAG in score order), box i stabilizes one round
+    after all its suppressors do, so the iteration converges to the
+    exact greedy solution in (keep/suppress chain depth) rounds —
+    typically < 10 — each round one cheap masked reduction, replacing
+    2000 sequential dynamic-slice steps.
     """
     k = iou.shape[0]
     idx = jnp.arange(k)
+    supp = (iou > iou_thr) & (idx[:, None] < idx[None, :])   # S[j, i], j<i
 
-    def body(i, keep):
-        suppress = (iou[i] > iou_thr) & (idx > i) & keep[i]
-        return keep & ~suppress
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(supp & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    init = (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
 
 
 

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: tiled exact rotated-box IoU.
+
+The NMS/assignment hot path. The jnp-level IoU (rotated_iou.py) tops out
+around 23M pairs/s because its 24-slot angle-sort materializes every
+intermediate in HBM; this kernel keeps the whole per-tile computation in
+VMEM/registers, using the Sutherland–Hodgman clip formulation (no sort,
+no atan2, no gather):
+
+- grid tile = (8 rows, 128 cols) of box pairs;
+- quad corners live as Python-unrolled 2D register arrays;
+- area comes from Gauss-Green boundary integration with Liang-Barsky
+  segment clipping: each quad's edges are clipped to the other quad and
+  contribute (t_hi - t_lo) * cross(P, D) to the shoelace sum — no vertex
+  buffers, no sort, tiny live set (an earlier Sutherland-Hodgman variant
+  with 64 doubling slot arrays spilled registers and ran 5x slower).
+
+Numerics: fp32 with per-pair local-frame centering (same precision trick
+as the jnp path / the reference's single_box_iou_rotated).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 8
+TILE_C = 128
+
+
+def _corners(cx, cy, w, h, t):
+    """Four (r, c)-shaped corner coordinate arrays (tl, tr, br, bl)."""
+    c = jnp.cos(t)
+    s = jnp.sin(t)
+    hw = w * 0.5
+    hh = h * 0.5
+    xs, ys = [], []
+    for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+        dx = sx * hw
+        dy = sy * hh
+        xs.append(c * dx - s * dy + cx)
+        ys.append(s * dx + c * dy + cy)
+    return xs, ys
+
+
+def _integral_area(ax, ay, bx, by):
+    """Intersection area via Gauss-Green boundary integration (the same
+    formulation as rotated_iou._quad_intersect_area_planes, unrolled over
+    Python-level corner lists so everything stays in registers)."""
+    def edges_integral(px_list, py_list, qx_list, qy_list, strict):
+        total = None
+        for i in range(4):
+            px, py = px_list[i], py_list[i]
+            dx = px_list[(i + 1) % 4] - px
+            dy = py_list[(i + 1) % 4] - py
+            t_lo = jnp.zeros_like(px)
+            t_hi = jnp.ones_like(px)
+            for j in range(4):
+                qx, qy = qx_list[j], qy_list[j]
+                ex = qx_list[(j + 1) % 4] - qx
+                ey = qy_list[(j + 1) % 4] - qy
+                c0 = ex * (py - qy) - ey * (px - qx)
+                dc = ex * dy - ey * dx
+                par = jnp.abs(dc) < 1e-12
+                t_x = -c0 / jnp.where(par, 1.0, dc)
+                t_lo = jnp.where(~par & (dc > 0),
+                                 jnp.maximum(t_lo, t_x), t_lo)
+                t_hi = jnp.where(~par & (dc < 0),
+                                 jnp.minimum(t_hi, t_x), t_hi)
+                reject = (c0 <= 0) if strict else (c0 < 0)
+                t_hi = jnp.where(par & reject, -1.0, t_hi)
+            span = jnp.maximum(t_hi - t_lo, 0.0)
+            term = span * (px * dy - py * dx)
+            total = term if total is None else total + term
+        return total
+
+    s1 = edges_integral(ax, ay, bx, by, strict=False)
+    s2 = edges_integral(bx, by, ax, ay, strict=True)
+    return jnp.abs(s1 + s2) * 0.5
+
+
+def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode):
+    # b1_ref: (TILE_R, 5) row boxes; b2_ref: (5, TILE_C) col boxes
+    f1 = [b1_ref[:, i:i + 1] for i in range(5)]          # (R, 1)
+    f2 = [b2_ref[i:i + 1, :] for i in range(5)]          # (1, C)
+    # local-frame shift (fp32 precision at image-coordinate scale)
+    mx = (f1[0] + f2[0]) * 0.5
+    my = (f1[1] + f2[1]) * 0.5
+    ax, ay = _corners(f1[0] - mx, f1[1] - my, f1[2], f1[3], f1[4])
+    bx, by = _corners(f2[0] - mx, f2[1] - my, f2[2], f2[3], f2[4])
+    inter = _integral_area(ax, ay, bx, by)
+    area1 = f1[2] * f1[3]
+    area2 = f2[2] * f2[3]
+    if mode == 'iou':
+        denom = area1 + area2 - inter
+    else:
+        denom = jnp.broadcast_to(area1, inter.shape)
+    out_ref[:, :] = inter / jnp.maximum(denom, 1e-14)
+
+
+@functools.partial(jax.jit, static_argnames=('mode', 'interpret'))
+def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False):
+    """Dense (N, M) rotated IoU/IoF via the tiled clip kernel."""
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    if n == 0 or m == 0:
+        return jnp.zeros((n, m), dtype=jnp.float32)
+    pad_n = (-n) % TILE_R
+    pad_m = (-m) % TILE_C
+    b1 = jnp.pad(boxes1.astype(jnp.float32), ((0, pad_n), (0, 0)))
+    b2 = jnp.pad(boxes2.astype(jnp.float32), ((0, pad_m), (0, 0))).T
+    np_, mp = n + pad_n, m + pad_m
+
+    out = pl.pallas_call(
+        functools.partial(_iou_tile_kernel, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        grid=(np_ // TILE_R, mp // TILE_C),
+        in_specs=[
+            pl.BlockSpec((TILE_R, 5), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, TILE_C), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(b1, b2)
+    return out[:n, :m]

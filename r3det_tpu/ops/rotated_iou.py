@@ -143,11 +143,8 @@ def _convex_area_planes(cand_x, cand_y, valid):
     return jnp.where(num >= 3, jnp.abs(area2) * 0.5, 0.0)
 
 
-def _quad_intersect_area_planes(ax, ay, bx, by):
-    """Intersection area of convex quads in plane form: (4, *S) x4 -> (*S).
-
-    Candidate-point + angle-sort formulation — the fastest jnp-level
-    variant measured on TPU (see the clip variant's note below)."""
+def _quad_intersect_area_sort(ax, ay, bx, by):
+    """Candidate-point + angle-sort formulation (kept as an oracle)."""
     ipx, ipy, ivalid = _edge_intersections_planes(ax, ay, bx, by)
     a_in_b = _points_in_quad_planes(ax, ay, bx, by)
     b_in_a = _points_in_quad_planes(bx, by, ax, ay)
@@ -155,6 +152,75 @@ def _quad_intersect_area_planes(ax, ay, bx, by):
     cand_y = jnp.concatenate([ipy, ay, by], axis=0)
     valid = jnp.concatenate([ivalid, a_in_b, b_in_a], axis=0)
     return _convex_area_planes(cand_x, cand_y, valid)
+
+
+def _half_plane_clip_t(px, py, dx, dy, qx, qy, qxn, qyn, t_lo, t_hi,
+                       strict=False):
+    """Liang-Barsky update of segment parameter range [t_lo, t_hi] for one
+    CCW half-plane (inside = left of edge q -> qn).
+
+    ``strict`` rejects segments lying exactly ON the clip edge — used for
+    the second integration pass so an exactly-shared boundary (identical
+    boxes) is counted once, not twice.
+    """
+    ex = qxn - qx
+    ey = qyn - qy
+    c0 = ex * (py - qy) - ey * (px - qx)          # signed dist at t=0 (x|e|)
+    dc = ex * dy - ey * dx                         # slope along the segment
+    par = jnp.abs(dc) < 1e-12
+    t_x = -c0 / jnp.where(par, 1.0, dc)
+    # dc > 0: constraint satisfied for t >= t_x (entering)
+    t_lo = jnp.where(~par & (dc > 0), jnp.maximum(t_lo, t_x), t_lo)
+    t_hi = jnp.where(~par & (dc < 0), jnp.minimum(t_hi, t_x), t_hi)
+    # parallel & outside: whole segment rejected
+    reject = (c0 <= 0) if strict else (c0 < 0)
+    t_hi = jnp.where(par & reject, -1.0, t_hi)
+    return t_lo, t_hi
+
+
+def _edges_in_quad_integral(ax, ay, bx, by, strict=False):
+    """Gauss-Green line integral of A's edges clipped to quad B.
+
+    Sum over A's edges of (t_hi - t_lo) * cross(P, D) where [t_lo, t_hi]
+    is the Liang-Barsky intersection of the edge with B. Both quads must
+    be CCW (obb corners with w, h >= 0 are). Each straight segment
+    contributes cross(P0', P1') = (t_hi - t_lo) * cross(P, D) to the
+    shoelace sum of the intersection boundary.
+    """
+    axn = jnp.roll(ax, -1, axis=0)
+    ayn = jnp.roll(ay, -1, axis=0)
+    bxn = jnp.roll(bx, -1, axis=0)
+    byn = jnp.roll(by, -1, axis=0)
+    total = None
+    for i in range(4):
+        px, py = ax[i], ay[i]
+        dx, dy = axn[i] - px, ayn[i] - py
+        t_lo = jnp.zeros_like(px)
+        t_hi = jnp.ones_like(px)
+        for j in range(4):
+            t_lo, t_hi = _half_plane_clip_t(px, py, dx, dy,
+                                            bx[j], by[j], bxn[j], byn[j],
+                                            t_lo, t_hi, strict=strict)
+        span = jnp.maximum(t_hi - t_lo, 0.0)
+        term = span * (px * dy - py * dx)
+        total = term if total is None else total + term
+    return total
+
+
+def _quad_intersect_area_planes(ax, ay, bx, by):
+    """Intersection area of convex quads in plane form: (4, *S) x4 -> (*S).
+
+    Boundary-integration formulation (Gauss-Green + Liang-Barsky): the
+    boundary of A∩B is exactly (A-edge portions inside B) + (B-edge
+    portions inside A); integrating x dy - y dx over those segments gives
+    twice the signed area. No candidate buffers, no sort, no fill — a
+    small live set of elementwise ops, ~4x fewer than the clip/sort
+    variants and fusion-friendly. CCW corner orientation is guaranteed by
+    obb corner generation (w, h >= 0).
+    """
+    s1 = _edges_in_quad_integral(ax, ay, bx, by, strict=False)
+    s2 = _edges_in_quad_integral(bx, by, ax, ay, strict=True)
+    return jnp.abs(s1 + s2) * 0.5
 
 
 def _forward_fill(xs, found):
@@ -249,18 +315,24 @@ def _overlap_planes(b1, b2, mode):
     return inter / jnp.maximum(denom, EPS_AREA)
 
 
-@partial(jax.jit, static_argnames=('mode', 'row_chunk'))
-def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=256):
+@partial(jax.jit, static_argnames=('mode', 'row_chunk', 'backend'))
+def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=256,
+                         backend=None):
     """Dense (N, M) rotated IoU/IoF matrix.
 
-    Memory-bounded by chunking rows through ``lax.map``: each chunk
-    materializes (24, row_chunk, M) candidate planes — lane-aligned on M
-    and flat in HBM for anchor-scale N (~200k) against padded-gt M.
+    backend: 'pallas' (TPU kernel, default on TPU), 'jnp' (default
+    elsewhere). The jnp path is memory-bounded by chunking rows through
+    ``lax.map``: each chunk materializes (row_chunk, M) planes.
     """
     n = boxes1.shape[0]
     m = boxes2.shape[0]
     if n == 0 or m == 0:
         return jnp.zeros((n, m), dtype=boxes1.dtype)
+    if backend is None:
+        backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if backend == 'pallas':
+        from .pallas_iou import rotated_iou_pallas
+        return rotated_iou_pallas(boxes1, boxes2, mode=mode)
     row_chunk = min(row_chunk, max(n, 1))
     pad = (-n) % row_chunk
     b1 = jnp.pad(boxes1, ((0, pad), (0, 0)))
