@@ -8,8 +8,18 @@ from .rtransforms import (  # noqa: F401
 )
 from .rtransforms_np import (  # noqa: F401
     poly2obb_np, obb2poly_np, get_best_begin_point, rbbox2result,
-    norm_angle_np,
+    rbbox2roi, norm_angle_np,
 )
 from .coders import (  # noqa: F401
     DeltaXYWHAOBBoxCoder, DeltaXYWHAHBBoxCoder,
 )
+from .iou_calculators import (  # noqa: F401
+    RBboxOverlaps2D_v1, RBboxOverlaps2D_v2, RBboxOverlaps2D_v3,
+    rbbox_overlaps_v1, rbbox_overlaps_v2, rbbox_overlaps_v3,
+)
+from .anchors import (  # noqa: F401
+    RAnchorGenerator, PseudoAnchorGenerator, ranchor_inside_flags,
+)
+from .assigner import max_iou_assign, AssignResult  # noqa: F401
+from .samplers import pseudo_sample, random_sample  # noqa: F401
+from .visualization import imshow_det_rbboxes  # noqa: F401

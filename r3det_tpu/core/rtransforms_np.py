@@ -196,3 +196,20 @@ def rbbox2result(bboxes, labels, num_classes):
     if bboxes.shape[0] == 0:
         return [np.zeros((0, 6), dtype=np.float32) for _ in range(num_classes)]
     return [bboxes[labels == i, :] for i in range(num_classes)]
+
+
+def rbbox2roi(bbox_list):
+    """Batch-index rotated boxes: list of per-image (n_i, 5+) arrays ->
+    (sum n_i, 6) [batch_idx, cx, cy, w, h, theta].
+
+    Parity: rtransforms.py:28-46.
+    """
+    rois = []
+    for img_id, bboxes in enumerate(bbox_list):
+        bboxes = np.asarray(bboxes)
+        if bboxes.shape[0] > 0:
+            idx = np.full((bboxes.shape[0], 1), img_id, bboxes.dtype)
+            rois.append(np.concatenate([idx, bboxes[:, :5]], axis=-1))
+    if not rois:
+        return np.zeros((0, 6), np.float32)
+    return np.concatenate(rois, axis=0)

@@ -229,11 +229,11 @@ def filter_bboxes(cls_scores, bbox_preds, anchors, coder, cfg):
         reg = reg.reshape(b, h * w, a, 5)
         anc = anc.reshape(h * w, a, 5)
         best = cls.max(-1).argmax(-1)                        # (B, HW)
-        best_reg = jnp.take_along_axis(
-            reg, best[..., None, None].repeat(5, -1), axis=2).squeeze(2)
-        best_anc = jnp.take_along_axis(
-            jnp.broadcast_to(anc[None], (b, h * w, a, 5)),
-            best[..., None, None].repeat(5, -1), axis=2).squeeze(2)
+        # one-hot contraction over the tiny anchor axis — batched gathers
+        # (take_along_axis) lower poorly on TPU
+        onehot = jax.nn.one_hot(best, a, dtype=reg.dtype)    # (B, HW, A)
+        best_reg = jnp.einsum('bna,bnaf->bnf', onehot, reg)
+        best_anc = jnp.einsum('bna,naf->bnf', onehot, anc)
         rois.append(jax.lax.stop_gradient(
             coder.decode(best_anc, best_reg)))
     return rois

@@ -25,13 +25,16 @@ from flax import linen as nn
 
 
 def bilinear_sample(feat, py, px):
-    """Bilinear sample one feature map at fractional (row, col) points.
+    """Bilinear sample feature maps at fractional (row, col) points.
 
-    feat: (H, W, C); py, px: (N,) fractional row/col coords.
+    feat: (B, H, W, C); py, px: (B, N) fractional row/col coords.
     Out-of-range points contribute 0 (reference bilinear_interpolate
     boundary semantics: reject y < -1 or y > H; clamp [-1, 0) to 0).
+
+    One flat gather over (B*H*W, C) per bilinear corner — a batched
+    per-image gather lowers much worse on TPU.
     """
-    h, w, c = feat.shape
+    b, h, w, c = feat.shape
     inside = (py > -1.0) & (py < h) & (px > -1.0) & (px < w)
     py = jnp.clip(py, 0.0, h - 1.0)
     px = jnp.clip(px, 0.0, w - 1.0)
@@ -43,34 +46,40 @@ def bilinear_sample(feat, py, px):
     lx = (px - x0).astype(feat.dtype)
     hy, hx = 1.0 - ly, 1.0 - lx
 
-    flat = feat.reshape(h * w, c)
+    flat = feat.reshape(b * h * w, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]    # (B, 1)
+
     def g(yi, xi):
-        return jnp.take(flat, yi * w + xi, axis=0)      # (N, C)
-    val = (g(y0, x0) * (hy * hx)[:, None] + g(y0, x1) * (hy * lx)[:, None] +
-           g(y1, x0) * (ly * hx)[:, None] + g(y1, x1) * (ly * lx)[:, None])
-    return jnp.where(inside[:, None], val, 0.0)
+        idx = (base + yi * w + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(b, -1, c)
+
+    val = (g(y0, x0) * (hy * hx)[..., None] +
+           g(y0, x1) * (hy * lx)[..., None] +
+           g(y1, x0) * (ly * hx)[..., None] +
+           g(y1, x1) * (ly * lx)[..., None])
+    return jnp.where(inside[..., None], val, 0.0)
 
 
 def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
                           transpose_quirk=True):
-    """FR op for one image & level: feat (H, W, C), best_bboxes (H*W, 5).
+    """FR op for one level: feat (B, H, W, C), best_bboxes (B, H*W, 5).
 
     Returns feat + sum of bilinear samples at the box points (the CUDA
     kernel's ``output_val = input + sum(samples)``).
     """
-    h, w, c = feat.shape
-    cx = best_bboxes[:, 0] * spatial_scale
-    cy = best_bboxes[:, 1] * spatial_scale
+    b, h, w, c = feat.shape
+    cx = best_bboxes[..., 0] * spatial_scale
+    cy = best_bboxes[..., 1] * spatial_scale
     if transpose_quirk:
         # kernel reads x into the row coord and y into the column coord
         row0, col0 = cx, cy
     else:
         row0, col0 = cy, cx
-    acc = bilinear_sample(feat, row0, col0).reshape(h, w, c)
+    acc = bilinear_sample(feat, row0, col0).reshape(b, h, w, c)
     if points == 5:
-        bw = best_bboxes[:, 2] * spatial_scale
-        bh = best_bboxes[:, 3] * spatial_scale
-        a = best_bboxes[:, 4]
+        bw = best_bboxes[..., 2] * spatial_scale
+        bh = best_bboxes[..., 3] * spatial_scale
+        a = best_bboxes[..., 4]
         cosa, sina = jnp.cos(a), jnp.sin(a)
         wx, wy = cosa * bw / 2, sina * bw / 2
         hx, hy = -sina * bh / 2, cosa * bh / 2
@@ -84,7 +93,7 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
                 r, cc = cx + dy, cy + dx
             else:
                 r, cc = cy + dy, cx + dx
-            acc = acc + bilinear_sample(feat, r, cc).reshape(h, w, c)
+            acc = acc + bilinear_sample(feat, r, cc).reshape(b, h, w, c)
     elif points != 1:
         raise ValueError('points must be 1 or 5')
     return feat + acc
@@ -121,10 +130,7 @@ class FeatureRefineModule(nn.Module):
             feat = conv_5_1(conv_1_5(x)) + conv_1_1(x)
             scale = 1.0 / stride
 
-            def sample_one(f, b):
-                return feature_refine_sample(
-                    f, b, scale, self.points, self.transpose_quirk)
-
-            refined = jax.vmap(sample_one)(feat, rois[lvl])
+            refined = feature_refine_sample(
+                feat, rois[lvl], scale, self.points, self.transpose_quirk)
             out.append(x + refined)
         return tuple(out)

@@ -1,0 +1,125 @@
+"""Full-system test: synthetic DOTA -> split -> load -> eval -> merge ->
+submission. (Training e2e is covered by test_detector + the train CLI.)"""
+import math
+import os
+import os.path as osp
+import subprocess
+import sys
+import zipfile
+
+import cv2
+import numpy as np
+import pytest
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+
+
+@pytest.fixture(scope='module')
+def fake_dota(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('dota'))
+    os.makedirs(f'{root}/train/images')
+    os.makedirs(f'{root}/train/labelTxt')
+    rng = np.random.RandomState(0)
+    classes = ['plane', 'ship', 'small-vehicle']
+    for i in range(2):
+        big = 700
+        img = rng.randint(40, 90, (big, big, 3)).astype(np.uint8)
+        lines = []
+        for _ in range(8):
+            cx, cy = rng.uniform(60, big - 60), rng.uniform(60, big - 60)
+            w, h = rng.uniform(30, 90), rng.uniform(15, 45)
+            a = rng.uniform(-math.pi, math.pi)
+            pts = cv2.boxPoints(((cx, cy), (w, h), math.degrees(a)))
+            cv2.fillPoly(img, [pts.astype(np.int32)],
+                         tuple(int(c) for c in rng.randint(120, 255, 3)))
+            coords = ' '.join(f'{v:.1f}' for v in pts.reshape(-1))
+            lines.append(f'{coords} {classes[rng.randint(3)]} 0\n')
+        cv2.imwrite(f'{root}/train/images/P{i:04d}.png', img)
+        with open(f'{root}/train/labelTxt/P{i:04d}.txt', 'w') as f:
+            f.writelines(lines)
+    return root
+
+
+@pytest.fixture(scope='module')
+def split_dir(fake_dota, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp('split')) + '/trainval'
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, 'tools/split/img_split.py'),
+         '--img-dirs', f'{fake_dota}/train/images',
+         '--ann-dirs', f'{fake_dota}/train/labelTxt',
+         '--sizes', '512', '--gaps', '128', '--save-dir', out],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_split_output_format(split_dir):
+    imgs = sorted(os.listdir(f'{split_dir}/images'))
+    anns = sorted(os.listdir(f'{split_dir}/annfiles'))
+    assert len(imgs) == len(anns) > 0
+    assert all('__512__' in n for n in imgs)
+    # annotation rows: 8 coords + class + difficulty
+    with open(f'{split_dir}/annfiles/{anns[0]}') as f:
+        for line in f:
+            parts = line.split()
+            assert len(parts) == 10
+            [float(v) for v in parts[:8]]
+
+
+def test_dataset_pipeline_and_eval(split_dir):
+    from r3det_tpu.datasets.dota import DOTADataset
+    from r3det_tpu.datasets.loader import DetLoader
+    from r3det_tpu.datasets.transforms import TrainPipeline
+
+    ds = DOTADataset(f'{split_dir}/annfiles', f'{split_dir}/images',
+                     version='v1',
+                     classes=('plane', 'ship', 'small-vehicle'))
+    assert len(ds) > 0
+    pipe = TrainPipeline(img_scale=(512, 512), version='v1', max_gt=32,
+                         seed=0)
+    loader = DetLoader(ds, pipe, batch_size=2, seed=0)
+    batch = next(iter(loader))
+    assert batch['image'].shape == (2, 512, 512, 3)
+    assert batch['gt_bboxes'].shape == (2, 32, 5)
+    assert batch['gt_mask'].any()
+
+    # perfect predictions -> mAP 1; shifted -> ~0
+    results = []
+    for info in ds.data_infos:
+        ann = info['ann']
+        per = []
+        for c in range(3):
+            d = ann['bboxes'][ann['labels'] == c]
+            per.append(np.concatenate(
+                [d, np.full((len(d), 1), .9, np.float32)], -1))
+        results.append(per)
+    assert ds.evaluate(results, logger=None)['mAP'] == pytest.approx(1.0)
+    shifted = [[np.concatenate([d[:, :5] + np.array([99, 99, 0, 0, 0],
+                                                    np.float32),
+                                d[:, 5:]], -1) if len(d) else d
+                for d in per] for per in results]
+    assert ds.evaluate(shifted, logger=None)['mAP'] < 0.1
+
+
+def test_merge_and_submission(split_dir, tmp_path):
+    from r3det_tpu.datasets.dota import DOTADataset
+    ds = DOTADataset(f'{split_dir}/annfiles', f'{split_dir}/images',
+                     version='v1',
+                     classes=('plane', 'ship', 'small-vehicle'))
+    results = []
+    for info in ds.data_infos:
+        ann = info['ann']
+        per = []
+        for c in range(3):
+            d = ann['bboxes'][ann['labels'] == c]
+            per.append(np.concatenate(
+                [d, np.full((len(d), 1), .9, np.float32)], -1))
+        results.append(per)
+    ids, merged = ds.merge_det(results)
+    assert set(ids) <= {'P0000', 'P0001'}
+    # translated boxes must exceed any patch-local coordinate range when
+    # the patch origin is nonzero
+    zip_path = ds.format_results(results, str(tmp_path / 'sub'))
+    with zipfile.ZipFile(zip_path) as z:
+        names = z.namelist()
+    assert 'Task1_plane.txt' in names and len(names) == 3

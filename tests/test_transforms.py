@@ -1,0 +1,112 @@
+"""Data-transform tests: flip/resize/rotate invariants."""
+import math
+
+import numpy as np
+import pytest
+
+from r3det_tpu.datasets.transforms import (Normalize, Pad, PolyRandomRotate,
+                                           RRandomFlip, RResize, pad_gt)
+
+PI = math.pi
+
+
+def sample(size=100, boxes=None):
+    img = np.arange(size * size * 3, dtype=np.uint8).reshape(size, size, 3)
+    boxes = boxes if boxes is not None else np.array(
+        [[30., 40., 20., 10., -0.5]], np.float32)
+    return dict(img=img, img_shape=img.shape, gt_bboxes=boxes.copy(),
+                gt_labels=np.zeros(len(boxes), np.int64))
+
+
+def test_rresize_scales_centers_and_geomean():
+    r = RResize((50, 50))(sample(100))
+    assert r['img'].shape[:2] == (50, 50)
+    b = r['gt_bboxes'][0]
+    assert b[0] == pytest.approx(15.0)
+    assert b[1] == pytest.approx(20.0)
+    # w/h scale by sqrt(wx*wy) = 0.5
+    assert b[2] == pytest.approx(10.0)
+    assert b[3] == pytest.approx(5.0)
+    np.testing.assert_allclose(r['scale_factor'], 0.5)
+
+
+def test_flip_horizontal_v1_swaps_wh():
+    f = RRandomFlip(flip_ratio=1.0, version='v1')
+    r = f(sample(100))
+    b = r['gt_bboxes'][0]
+    assert b[0] == pytest.approx(100 - 30 - 1)
+    assert b[1] == pytest.approx(40.0)
+    # v1 rule: theta -> -pi/2 - theta with w/h swap
+    assert b[4] == pytest.approx(-PI / 2 + 0.5)
+    assert (b[2], b[3]) == (10., 20.)
+    # image actually flipped
+    np.testing.assert_array_equal(r['img'], sample(100)['img'][:, ::-1])
+
+
+def test_flip_vertical_v3_norm_angle():
+    boxes = np.array([[30., 40., 20., 10., 0.3]], np.float32)
+    f = RRandomFlip(flip_ratio=1.0, direction='vertical', version='v3')
+    r = f(sample(100, boxes))
+    b = r['gt_bboxes'][0]
+    assert b[1] == pytest.approx(100 - 40 - 1)
+    # norm_angle(pi - 0.3, v3) = -0.3
+    assert b[4] == pytest.approx(-0.3, abs=1e-6)
+
+
+def test_flip_v1_pi_half_angle_unchanged():
+    boxes = np.array([[30., 40., 20., 10., -PI / 2]], np.float32)
+    f = RRandomFlip(flip_ratio=1.0, version='v1')
+    b = f(sample(100, boxes))['gt_bboxes'][0]
+    assert b[4] == pytest.approx(-PI / 2)
+    assert (b[2], b[3]) == (20., 10.)   # no swap for axis-aligned
+
+
+def test_flip_diagonal_keeps_angle():
+    f = RRandomFlip(flip_ratio=1.0, direction='diagonal', version='v1')
+    b = f(sample(100))['gt_bboxes'][0]
+    assert b[4] == pytest.approx(-0.5)
+
+
+def test_poly_random_rotate_preserves_boxes_or_rejects():
+    rng = np.random.RandomState(3)
+    rot = PolyRandomRotate(rotate_ratio=1.0, angles_range=30, version='v3',
+                           rng=rng)
+    boxes = np.array([[50., 50., 30., 14., 0.2]], np.float32)
+    r = rot(sample(100, boxes))
+    if r is not None:
+        assert r['rotate'] is True
+        b = r['gt_bboxes']
+        assert b.shape[1] == 5
+        # area approximately preserved under rotation
+        assert b[0, 2] * b[0, 3] == pytest.approx(30 * 14, rel=0.15)
+
+
+def test_poly_random_rotate_discrete_for_class9():
+    rng = np.random.RandomState(0)
+    rot = PolyRandomRotate(rotate_ratio=1.0, angles_range=180, version='v3',
+                           rng=rng)
+    s = sample(100, np.array([[50., 50., 30., 14., 0.2]], np.float32))
+    s['gt_labels'] = np.array([9])
+    r = rot(s)
+    assert r is None or r['rotate_angle'] in (90, 180, -90, -180)
+
+
+def test_normalize_and_pad():
+    s = sample(100)
+    r = Normalize()(s)
+    assert r['img'].dtype == np.float32
+    r = Pad(32)(r)
+    assert r['img'].shape[:2] == (128, 128)
+    assert r['pad_shape'][:2] == (128, 128)
+
+
+def test_pad_gt_truncates_by_area():
+    boxes = np.stack([np.arange(5, dtype=np.float32)] * 10)
+    boxes[:, 2] = np.arange(10) + 1     # increasing area
+    boxes[:, 3] = 1.0
+    labels = np.arange(10, dtype=np.int64)
+    b, l, m = pad_gt(boxes, labels, 4)
+    assert m.sum() == 4
+    assert set(l[:4].tolist()) == {6, 7, 8, 9}   # largest kept
+    b2, l2, m2 = pad_gt(np.zeros((0, 5)), np.zeros((0,)), 4)
+    assert not m2.any()
