@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument('--log-interval', type=int, default=50)
     p.add_argument('--pretrained-backbone', default=None,
                    help='path to a torchvision resnet .pth/.npz state dict')
+    p.add_argument('--profile', default=None, metavar='DIR',
+                   help='capture a jax.profiler trace of steps 10-15 into DIR')
     p.add_argument('--cfg-options', nargs='+', default=[],
                    help='key=value dotted-path config overrides')
     return p.parse_args()
@@ -147,8 +149,14 @@ def main():
                 data_iter = iter(loader)
                 batch = next(data_iter)
             batch = shard_batch(batch, mesh)
+            if args.profile and step_i == 10:
+                jax.profiler.start_trace(args.profile)
             state, losses = step_fn(state, batch)
             step_i += 1
+            if args.profile and step_i == 15:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                print(f'profiler trace -> {args.profile}')
             if step_i % args.log_interval == 0 or step_i == total_steps:
                 losses = {k: float(v) for k, v in
                           jax.device_get(losses).items()}
