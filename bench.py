@@ -25,7 +25,7 @@ def main():
     from r3det_tpu.parallel.mesh import make_predict_step
 
     cfg = R3DET_R50_V1
-    batch = 8
+    batch = 16
     size = 1024
     model = build_detector(cfg, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -47,7 +47,7 @@ def main():
     for i in range(2):
         run(images[i % 4])                       # warmup
 
-    iters = 10
+    iters = 6
     t0 = time.perf_counter()
     for i in range(iters):
         run(images[i % 4])

@@ -15,13 +15,11 @@ Cascade layout mirrors R3Det.forward_train (r3det.py:75-110): base head
 (s0) -> filter_bboxes -> per refine stage: FRM -> refine head (sr{i}),
 refine_bboxes between stages; losses weighted by stage_loss_weights.
 """
-import math
 from functools import partial
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..core import coders

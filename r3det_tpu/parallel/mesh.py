@@ -12,7 +12,6 @@ Optimization matches configs/_base_/schedules/schedule_1x.py: SGD momentum
 0.9, weight decay 1e-4, global grad-norm clip 35, linear warmup (500
 iters, ratio 1/3) then step decay 0.1x at the configured epochs.
 """
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax
