@@ -71,7 +71,8 @@ def publish_checkpoint(in_path: str, out_path: str) -> str:
 # torch (torchvision resnet50) -> flax ResNet parameter conversion
 # ---------------------------------------------------------------------
 
-def convert_torch_resnet(state_dict: Dict[str, Any], depth=50):
+def convert_torch_resnet(state_dict: Dict[str, Any], depth=50,
+                         stem_space_to_depth=True):
     """torchvision ResNet state_dict -> (params, batch_stats) pytrees for
     models.resnet.ResNet. Conv kernels transpose OIHW -> HWIO.
 
@@ -94,7 +95,12 @@ def convert_torch_resnet(state_dict: Dict[str, Any], depth=50):
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    params['conv1'] = conv('conv1')
+    if stem_space_to_depth:
+        from ..models.resnet import fold_stem_kernel
+        params['conv1'] = {'kernel': fold_stem_kernel(
+            arr('conv1.weight').transpose(2, 3, 1, 0))}
+    else:
+        params['conv1'] = conv('conv1')
     params['bn1'], stats['bn1'] = bn('bn1')
     blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
     for stage, n in enumerate(blocks):
@@ -115,9 +121,11 @@ def convert_torch_resnet(state_dict: Dict[str, Any], depth=50):
     return params, stats
 
 
-def load_pretrained_backbone(variables, state_dict, depth=50):
+def load_pretrained_backbone(variables, state_dict, depth=50,
+                             stem_space_to_depth=True):
     """Merge converted torchvision weights into a detector's variables."""
-    params, stats = convert_torch_resnet(state_dict, depth)
+    params, stats = convert_torch_resnet(state_dict, depth,
+                                         stem_space_to_depth)
     new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
     new_vars = dict(new_vars)
     p = dict(new_vars['params'])
