@@ -60,6 +60,7 @@ class DetectorConfig(NamedTuple):
     octave_base_scale: int = 4
     scales_per_octave: int = 3
     stacked_convs: int = 4
+    refine_stacked_convs: int = None   # None -> same as stacked_convs
     feat_channels: int = 256
     num_refine_stages: int = 0                      # 0 => RRetinaNet
     stage_loss_weights: Tuple[float, ...] = ()
@@ -186,7 +187,8 @@ class R3Det(nn.Module):
                 dtype=self.dtype, name=f'frm_{stage}')(feats, rois)
             cls_i, reg_i = RRetinaHead(
                 num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
-                stacked_convs=cfg.stacked_convs, num_anchors=1,
+                stacked_convs=cfg.refine_stacked_convs or cfg.stacked_convs,
+                num_anchors=1,
                 dtype=self.dtype, name=f'refine_head_{stage}')(feats)
             out['sr'].append((cls_i, reg_i))
             out['rois'].append(rois)

@@ -72,6 +72,8 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
         octave_base_scale=ag.get('octave_base_scale', 4),
         scales_per_octave=ag.get('scales_per_octave', 3),
         stacked_convs=head.get('stacked_convs', 4),
+        refine_stacked_convs=(model.get('refine_heads') or
+                              [{}])[0].get('stacked_convs'),
         feat_channels=head.get('feat_channels', 256),
         num_refine_stages=num_refine,
         stage_loss_weights=stage_w,

@@ -50,7 +50,8 @@ def main():
     test_d = cfg.data.test if not args.eval else cfg.data.val
     ds = DOTADataset(test_d.ann_file, test_d.get('img_prefix'),
                      version=det_cfg.angle_version, filter_empty=False,
-                     test_mode=not args.eval)
+                     test_mode=not args.eval,
+                     classes=test_d.get('classes'))
     print(f'{len(ds)} images')
 
     size = args.img_size

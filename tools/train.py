@@ -86,7 +86,8 @@ def main():
         train_d = cfg.data.train
         ds = DOTADataset(train_d.ann_file,
                          train_d.get('img_prefix'),
-                         version=det_cfg.angle_version)
+                         version=det_cfg.angle_version,
+                         classes=train_d.get('classes'))
         with_rotate = any(s.get('type') == 'PolyRandomRotate'
                           for s in train_d.get('pipeline', []))
         pipeline = TrainPipeline(img_scale=(size, size),
