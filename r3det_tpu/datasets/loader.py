@@ -9,13 +9,14 @@ resampled, mirroring mmdet's None-filtering collate.
 """
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
 class DetLoader:
     def __init__(self, dataset, pipeline, batch_size=2, shuffle=True,
-                 seed=0, prefetch=2, drop_last=True):
+                 seed=0, prefetch=2, drop_last=True, num_workers=4):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -23,6 +24,8 @@ class DetLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # threads, not processes: cv2 decode/warp release the GIL
+        self.num_workers = max(1, num_workers)
 
     def __len__(self):
         n = len(self.dataset)
@@ -71,11 +74,12 @@ class DetLoader:
                 chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     break
-                if not _put(self._collate([self._sample(i)
-                                           for i in chunk])):
+                samples = list(pool.map(self._sample, chunk))
+                if not _put(self._collate(samples)):
                     return
             _put(sentinel)
 
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
@@ -86,6 +90,7 @@ class DetLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False)
 
 
 class SyntheticDetData:

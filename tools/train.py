@@ -46,6 +46,13 @@ def main():
     args = parse_args()
     import jax
     import jax.numpy as jnp
+    # Multi-host bring-up: the reference's init_dist/NCCL launcher maps to
+    # jax.distributed.initialize(), which self-configures on TPU pods and
+    # reads JAX_COORDINATOR_ADDRESS/JAX_PROCESS_ID/JAX_NUM_PROCESSES
+    # elsewhere. Single-host runs skip it.
+    if os.environ.get('JAX_NUM_PROCESSES') or \
+            os.environ.get('MEGASCALE_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
 
     from r3det_tpu.utils.config import Config
     from r3det_tpu.utils.builder import build_from_config
