@@ -50,6 +50,7 @@ class TestCfg(NamedTuple):
     nms_iou_thr: float = 0.1
     max_per_img: int = 2000
     nms_version: str = 'v1'
+    min_bbox_size: float = 0.0
 
 
 class DetectorConfig(NamedTuple):
@@ -394,6 +395,11 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
 
     boxes = jnp.concatenate(mlvl_boxes, 1)                 # (B, N, 5)
     scores = jnp.concatenate(mlvl_scores, 1)               # (B, N, C)
+    if t.min_bbox_size > 0:
+        # drop degenerate boxes before NMS (test_cfg.min_bbox_size)
+        ok = (boxes[..., 2] >= t.min_bbox_size) & \
+            (boxes[..., 3] >= t.min_bbox_size)
+        scores = jnp.where(ok[..., None], scores, 0.0)
     if scale_factor is not None:
         sf = jnp.asarray(scale_factor, dtype=boxes.dtype)  # (4,) wh wh
         boxes = boxes.at[..., :4].set(boxes[..., :4] / sf)

@@ -83,7 +83,8 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
             score_thr=test_cfg.get('score_thr', 0.05),
             nms_iou_thr=nms.get('iou_thr', 0.1),
             max_per_img=test_cfg.get('max_per_img', 2000),
-            nms_version=nms_version),
+            nms_version=nms_version,
+            min_bbox_size=test_cfg.get('min_bbox_size', 0.0)),
         target_means=tuple(coder.get('target_means', (0.,) * 5)),
         target_stds=tuple(coder.get('target_stds', (1.,) * 5)),
         focal_gamma=loss_cls.get('gamma', 2.0),
