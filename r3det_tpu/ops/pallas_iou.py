@@ -79,8 +79,27 @@ def _integral_area(ax, ay, bx, by):
     return jnp.abs(s1 + s2) * 0.5
 
 
-def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode):
+def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode, upper_only=False):
     # b1_ref: (TILE_R, 5) row boxes; b2_ref: (5, TILE_C) col boxes
+    if upper_only:
+        # greedy NMS consumes the strictly-upper triangle only: skip
+        # whole tiles strictly below the diagonal (about half the grid)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        below_diag = (i * TILE_R) >= ((j + 1) * TILE_C)
+
+        @pl.when(below_diag)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(below_diag))
+        def _():
+            _iou_tile_body(b1_ref, b2_ref, out_ref, mode)
+        return
+    _iou_tile_body(b1_ref, b2_ref, out_ref, mode)
+
+
+def _iou_tile_body(b1_ref, b2_ref, out_ref, mode):
     f1 = [b1_ref[:, i:i + 1] for i in range(5)]          # (R, 1)
     f2 = [b2_ref[i:i + 1, :] for i in range(5)]          # (1, C)
     # local-frame shift (fp32 precision at image-coordinate scale)
@@ -98,9 +117,14 @@ def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode):
     out_ref[:, :] = inter / jnp.maximum(denom, 1e-14)
 
 
-@functools.partial(jax.jit, static_argnames=('mode', 'interpret'))
-def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False):
-    """Dense (N, M) rotated IoU/IoF via the tiled clip kernel."""
+@functools.partial(jax.jit, static_argnames=('mode', 'interpret',
+                                              'upper_only'))
+def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
+                       upper_only=False):
+    """Dense (N, M) rotated IoU/IoF via the tiled clip kernel.
+
+    upper_only zeroes tiles strictly below the diagonal (valid only for
+    the self-IoU consumed by greedy NMS, which reads j < i pairs)."""
     n, m = boxes1.shape[0], boxes2.shape[0]
     if n == 0 or m == 0:
         return jnp.zeros((n, m), dtype=jnp.float32)
@@ -111,7 +135,8 @@ def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False):
     np_, mp = n + pad_n, m + pad_m
 
     out = pl.pallas_call(
-        functools.partial(_iou_tile_kernel, mode=mode),
+        functools.partial(_iou_tile_kernel, mode=mode,
+                          upper_only=upper_only),
         out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
         grid=(np_ // TILE_R, mp // TILE_C),
         in_specs=[
