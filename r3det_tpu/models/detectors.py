@@ -51,6 +51,7 @@ class TestCfg(NamedTuple):
     max_per_img: int = 2000
     nms_version: str = 'v1'
     min_bbox_size: float = 0.0
+    approx_topk: bool = False   # lax.approx_max_k for nms_pre selection
 
 
 class DetectorConfig(NamedTuple):
@@ -385,7 +386,12 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
         k = min(t.nms_pre, scores.shape[1])
         if k < scores.shape[1]:
             max_scores = scores.max(-1)
-            _, topk = jax.lax.top_k(max_scores, k)
+            if t.approx_topk:
+                # TPU-native approximate top-k (recall ~0.95); opt-in for
+                # serving — exact lax.top_k is the parity default
+                _, topk = jax.lax.approx_max_k(max_scores, k)
+            else:
+                _, topk = jax.lax.top_k(max_scores, k)
             scores = jnp.take_along_axis(scores, topk[..., None], axis=1)
             reg = jnp.take_along_axis(reg, topk[..., None], axis=1)
             anc = jnp.take_along_axis(anc, topk[..., None], axis=1)

@@ -39,6 +39,8 @@ def parse_args():
                    default=[104, 116, 124])
     p.add_argument('--save-dir', default=None)
     p.add_argument('--save-ext', default='.png')
+    p.add_argument('--nproc', type=int, default=1,
+                   help='worker processes (reference uses a Pool too)')
     args = p.parse_args()
     if args.base_json:
         with open(args.base_json) as f:
@@ -202,13 +204,27 @@ def main():
     os.makedirs(img_out, exist_ok=True)
     os.makedirs(ann_out, exist_ok=True)
     ann_dirs = args.ann_dirs or [None] * len(args.img_dirs)
-    total = 0
+    jobs = []
     for img_dir, ann_dir in zip(args.img_dirs, ann_dirs):
         for img_path in sorted(glob.glob(osp.join(img_dir, '*.*'))):
             name = osp.splitext(osp.basename(img_path))[0]
             ann_path = osp.join(ann_dir, name + '.txt') if ann_dir else None
-            total += split_one(img_path, ann_path, args, img_out, ann_out)
+            jobs.append((img_path, ann_path))
+    if args.nproc > 1:
+        import functools
+        from multiprocessing import Pool
+        work = functools.partial(_split_job, args=args, img_out=img_out,
+                                 ann_out=ann_out)
+        with Pool(args.nproc) as pool:
+            total = sum(pool.map(work, jobs))
+    else:
+        total = sum(split_one(ip, ap, args, img_out, ann_out)
+                    for ip, ap in jobs)
     print(f'wrote {total} patches to {args.save_dir}')
+
+
+def _split_job(job, args, img_out, ann_out):
+    return split_one(job[0], job[1], args, img_out, ann_out)
 
 
 if __name__ == '__main__':
