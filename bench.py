@@ -34,7 +34,7 @@ def main():
     # tunnel — only a host fetch does. Timing below fetches every iter.
     images = [jnp.asarray(rng.uniform(-2, 2, (batch, size, size, 3))
                           .astype(np.float32)) for _ in range(4)]
-    variables = model.init(jax.random.PRNGKey(0), images[0][:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0][:1])
     featmap_sizes = tuple((size // s, size // s) for s in cfg.strides)
     predict = make_predict_step(model, cfg, featmap_sizes,
                                 img_shape=(size, size))

@@ -286,10 +286,14 @@ class DeltaXYWHAOBBoxCoder:
                  target_means: Sequence[float] = DEFAULT_MEANS,
                  target_stds: Sequence[float] = DEFAULT_STDS,
                  angle_range: str = 'v1',
-                 **_ignored):
+                 angle_version: str = None):
         self.means: Tuple[float, ...] = tuple(target_means)
         self.stds: Tuple[float, ...] = tuple(target_stds)
-        self.angle_range = angle_range
+        # `angle_range` is the reference's config key
+        # (delta_xywha_rbbox_coder.py:34); `angle_version` is this
+        # framework's name for the same concept. Accept both, never a
+        # silent **kwargs sink (an ignored version kwarg decodes v1).
+        self.angle_range = angle_version or angle_range
 
     def encode(self, bboxes, gt_bboxes):
         return _OBB_ENCODE[self.angle_range](bboxes, gt_bboxes, self.means,
@@ -311,10 +315,10 @@ class DeltaXYWHAHBBoxCoder:
                  target_means: Sequence[float] = DEFAULT_MEANS,
                  target_stds: Sequence[float] = DEFAULT_STDS,
                  angle_range: str = 'v1',
-                 **_ignored):
+                 angle_version: str = None):
         self.means: Tuple[float, ...] = tuple(target_means)
         self.stds: Tuple[float, ...] = tuple(target_stds)
-        self.angle_range = angle_range
+        self.angle_range = angle_version or angle_range
 
     def encode(self, bboxes, gt_bboxes):
         return _HBB_ENCODE[self.angle_range](bboxes, gt_bboxes, self.means,

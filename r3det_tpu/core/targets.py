@@ -70,7 +70,15 @@ def _targets_single(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
         overlaps = _hbb_iou(gt_assign, anchors_assign)
     else:
         anc5 = rt.hbb2obb(anchors, version) if cfg.hbb_anchors else anchors
-        overlaps = rotated_iou_pairwise(gt_bboxes, anc5)
+        # shipped configs pair the calculator with the angle version
+        # (RBboxOverlaps2D_v{1,2,3}); v2/v3 backends use the negated
+        # (detectron2/mmcv) angle convention — see ops.rotated_iou
+        if version != 'v1':
+            from ..ops.rotated_iou import negate_theta
+            overlaps = rotated_iou_pairwise(negate_theta(gt_bboxes),
+                                            negate_theta(anc5))
+        else:
+            overlaps = rotated_iou_pairwise(gt_bboxes, anc5)
 
     res = max_iou_assign(overlaps, gt_mask,
                          pos_iou_thr=cfg.pos_iou_thr,

@@ -123,7 +123,8 @@ class ResNet(nn.Module):
 
     @property
     def stage_blocks(self) -> Tuple[int, ...]:
-        return {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+        # depth 10 is a 1-block-per-stage bottleneck trunk for fast tests
+        return {10: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
                 152: (3, 8, 36, 3)}[self.depth]
 
     @nn.compact

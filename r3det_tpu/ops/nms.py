@@ -66,8 +66,8 @@ def _greedy_keep(iou, valid, iou_thr):
 
 
 
-@partial(jax.jit, static_argnames=('max_out',))
-def rnms(dets, iou_thr, max_out=2000):
+@partial(jax.jit, static_argnames=('max_out', 'negate_angle'))
+def rnms(dets, iou_thr, max_out=2000, negate_angle=False):
     """Single-class rotated NMS on (N, 6) scored dets.
 
     Returns (keep_idx (max_out,) padded with -1, num_kept). Matches the
@@ -75,29 +75,40 @@ def rnms(dets, iou_thr, max_out=2000):
     the reference we do not re-sort kept indices ascending — callers use
     score order (the wrappers below gather, so order only affects
     tie-breaks in downstream truncation, which happens in score order in
-    both frameworks).
+    both frameworks). negate_angle=True reproduces the v3 backend
+    (obb_nms / nms_rotated_ext) on single-class dets.
     """
     boxes = dets[:, :5]
     scores = dets[:, 5]
-    return _nms_core(boxes, scores, iou_thr, max_out)
+    return _nms_core(boxes, scores, iou_thr, max_out,
+                     negate_angle=negate_angle)
 
 
 def _nms_core(boxes, scores, iou_thr, max_out, valid=None, labels=None,
-              label_aware=False):
-    """Shared static-shape NMS: sort, IoU, greedy sweep, top-max_out."""
+              label_aware=False, negate_angle=False):
+    """Shared static-shape NMS: sort, IoU, greedy sweep, top-max_out.
+
+    negate_angle: use the detectron2/mmcv angle convention for the
+    suppression IoU (reference v3/'mmcv' NMS backends — see
+    ops.rotated_iou.negate_theta). Gathered outputs keep original boxes.
+    """
+    from .rotated_iou import negate_theta
     k = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((k,), dtype=bool)
     order = jnp.argsort(-scores)
     boxes_s = boxes[order]
+    if negate_angle:
+        boxes_s = negate_theta(boxes_s)
     valid_s = valid[order]
-    if jax.default_backend() == 'tpu':
-        from .pallas_iou import rotated_iou_pallas
-        # greedy suppression reads only j < i pairs: skip the lower
-        # triangle at tile granularity (~2x less IoU work)
-        iou = rotated_iou_pallas(boxes_s, boxes_s, upper_only=True)
-    else:
-        iou = rotated_iou_pairwise(boxes_s, boxes_s)
+    from .pallas_iou import rotated_iou_pallas
+    # greedy suppression reads only j < i pairs: the TPU kernel skips the
+    # lower triangle at tile granularity (~2x less IoU work). Resolved
+    # per lowering platform so CPU-mesh jits take the jnp path.
+    iou = jax.lax.platform_dependent(
+        boxes_s,
+        tpu=lambda b: rotated_iou_pallas(b, b, upper_only=True),
+        default=lambda b: rotated_iou_pairwise(b, b, backend='jnp'))
     if label_aware and labels is not None:
         labels_s = labels[order]
         same = labels_s[:, None] == labels_s[None, :]
@@ -155,7 +166,8 @@ def obb_batched_nms(boxes, scores, labels, iou_thr, max_out=2000,
         jnp.where(valid, ys.min(-1), 0.0).min())
     offs = boxes.at[:, :2].add(labels[:, None].astype(boxes.dtype) *
                                (extent + 1.0))
-    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out, valid=valid)
+    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out, valid=valid,
+                            negate_angle=True)
     return _gather_dets(boxes, scores, labels, keep_idx), n
 
 
@@ -244,11 +256,15 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
         offs = top_boxes.at[:, :2].add(
             top_labels[:, None].astype(top_boxes.dtype) * (extent + 1.0))
         keep_idx, num = _nms_core(offs, top_scores, iou_thr, max_num,
-                                  valid=vz)
+                                  valid=vz, negate_angle=True)
     else:   # 'v2' and 'mmcv': label-aware gating
+        # v2 (ml_nms_rotated) uses the original-detectron2 corner gen —
+        # same convention as our kernel; 'mmcv' (mmcv.ops.nms_rotated)
+        # uses the mmcv/v3 convention (negated theta).
         keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
                                   valid=valid, labels=top_labels,
-                                  label_aware=True)
+                                  label_aware=True,
+                                  negate_angle=(version == 'mmcv'))
 
     dets, labels_out = _gather_dets(top_boxes, top_scores, top_labels,
                                     keep_idx)

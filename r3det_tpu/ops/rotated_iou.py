@@ -329,7 +329,14 @@ def rotated_iou_pairwise(boxes1, boxes2, mode='iou', row_chunk=256,
     if n == 0 or m == 0:
         return jnp.zeros((n, m), dtype=boxes1.dtype)
     if backend is None:
-        backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+        # resolve per lowering platform (NOT jax.default_backend(): a
+        # CPU-mesh jit on a TPU-default process must take the jnp path)
+        from .pallas_iou import rotated_iou_pallas
+        return jax.lax.platform_dependent(
+            boxes1, boxes2,
+            tpu=partial(rotated_iou_pallas, mode=mode),
+            default=partial(rotated_iou_pairwise, mode=mode,
+                            row_chunk=row_chunk, backend='jnp'))
     if backend == 'pallas':
         from .pallas_iou import rotated_iou_pallas
         return rotated_iou_pallas(boxes1, boxes2, mode=mode)
@@ -383,21 +390,41 @@ def quad_iou_pairwise(quads1, quads2):
     return inter / jnp.maximum(a1 + a2 - inter, EPS_AREA)
 
 
+def negate_theta(boxes):
+    """Flip a box set to the detectron2/mmcv angle convention.
+
+    The reference's v2/v3 kernels (mmcv box_iou_rotated and the vendored
+    box_iou_rotated/nms_rotated headers) generate corners with the
+    opposite rotation sign from the poly2obb/obb2poly family the v1 ops
+    and the evaluator use (box_iou_rotated_utils.h:63-73 vs
+    rtransforms.py obb2poly_np; verified against the compiled reference
+    CPU extension in tests/test_reference_parity.py). Negating theta on
+    both operands reproduces those kernels exactly.
+    """
+    boxes = jnp.asarray(boxes)
+    return jnp.concatenate([boxes[..., :4], -boxes[..., 4:5]], axis=-1)
+
+
 def rbbox_overlaps(bboxes1, bboxes2, mode='iou', is_aligned=False,
-                   small_box_thr=None):
+                   small_box_thr=None, negate_angle=False):
     """Config-facing entry: (N, 5[+score]) x (M, 5[+score]) -> (N, M) or (N,).
 
     Mirrors the shared signature of the reference's three calculator
     classes (rotate_iou2d_calculator.py:8-231): trims a 6th score column,
     and optionally zeroes overlaps involving near-degenerate boxes
     (the v3 backend's min(w,h) < small_box_thr rule,
-    box_iou_rotated_wrapper.py:50-60).
+    box_iou_rotated_wrapper.py:50-60). ``negate_angle`` selects the
+    detectron2/mmcv angle convention (see negate_theta) used by the
+    reference's v2/v3 backends.
     """
     assert mode in ('iou', 'iof')
     if bboxes1.shape[-1] == 6:
         bboxes1 = bboxes1[..., :5]
     if bboxes2.shape[-1] == 6:
         bboxes2 = bboxes2[..., :5]
+    if negate_angle:
+        bboxes1 = negate_theta(bboxes1)
+        bboxes2 = negate_theta(bboxes2)
     if is_aligned:
         out = rotated_iou_aligned(bboxes1, bboxes2, mode=mode)
         if small_box_thr is not None:

@@ -81,7 +81,9 @@ def make_optimizer(lr_schedule, momentum=0.9, weight_decay=1e-4,
 
 def init_train_state(model, rng, sample_images, tx=None,
                      lr_schedule=None) -> TrainState:
-    variables = model.init(rng, sample_images)
+    # jit: eager flax init dispatches every initializer separately
+    # (~10x slower than one compiled program)
+    variables = jax.jit(model.init)(rng, sample_images)
     if tx is None:
         tx = make_optimizer(lr_schedule or make_lr_schedule())
     params = variables['params']

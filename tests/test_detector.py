@@ -17,12 +17,14 @@ from r3det_tpu.models.detectors import TestCfg as InferCfg
 RNG = np.random.RandomState(0)
 
 TINY = DetectorConfig(
-    num_classes=3, stacked_convs=1, feat_channels=32,
+    num_classes=3, stacked_convs=1, feat_channels=32, backbone_depth=10,
     s0_train=StageTrainCfg(0.5, 0.4, 0.0, 'v1'),
     test=InferCfg(nms_pre=64, max_per_img=16))
 TINY_R3DET = TINY._replace(
     num_refine_stages=1, stage_loss_weights=(1.0,),
     sr_train=(StageTrainCfg(0.6, 0.5, 0.0, None),))
+
+FEATMAP_SIZES = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
 
 
 def make_batch(b=2, size=64, g=4):
@@ -44,14 +46,36 @@ def make_batch(b=2, size=64, g=4):
 
 def init_model(cfg, images, dtype=jnp.float32):
     model = build_detector(cfg, dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0), images)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
     return model, variables
 
 
-def test_rretinanet_forward_shapes():
-    images, *_ = make_batch()
+# One forward per model family, shared by every shape/predict test below
+# (compiles dominate on a 1-CPU host).
+
+@pytest.fixture(scope='module')
+def batch():
+    return make_batch()
+
+
+@pytest.fixture(scope='module')
+def tiny_fwd(batch):
+    images = batch[0]
     model, variables = init_model(TINY, images)
-    out = model.apply(variables, images)
+    out = jax.jit(model.apply)(variables, images)
+    return model, variables, out
+
+
+@pytest.fixture(scope='module')
+def r3det_fwd(batch):
+    images = batch[0]
+    model, variables = init_model(TINY_R3DET, images)
+    out = jax.jit(model.apply)(variables, images)
+    return model, variables, out
+
+
+def test_rretinanet_forward_shapes(tiny_fwd):
+    out = tiny_fwd[2]
     cls_scores, bbox_preds = out['s0']
     assert len(cls_scores) == 5
     sizes = [8, 4, 2, 1, 1]
@@ -60,19 +84,18 @@ def test_rretinanet_forward_shapes():
         assert reg.shape == (2, s, s, 9 * 5)
 
 
-def test_rretinanet_loss_finite_and_grads_flow():
-    images, gt, labels, mask = make_batch()
-    model, variables = init_model(TINY, images)
-    featmap_sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+def test_rretinanet_loss_finite_and_grads_flow(batch, tiny_fwd):
+    images, gt, labels, mask = batch
+    model, variables, _ = tiny_fwd
 
     def loss_fn(params):
         out = model.apply({'params': params,
                            'batch_stats': variables['batch_stats']}, images)
-        losses = detector_loss(out, TINY, featmap_sizes, gt, labels, mask)
+        losses = detector_loss(out, TINY, FEATMAP_SIZES, gt, labels, mask)
         return losses['total'], losses
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        variables['params'])
+    (total, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables['params'])
     assert np.isfinite(float(total))
     assert float(losses['s0.loss_cls']) > 0
     # head grads nonzero, frozen stem grads zero
@@ -85,19 +108,19 @@ def test_rretinanet_loss_finite_and_grads_flow():
     assert any(float(jnp.abs(g).max()) > 0 for g in l3)
 
 
-def test_r3det_forward_and_loss():
-    images, gt, labels, mask = make_batch()
-    model, variables = init_model(TINY_R3DET, images)
-    out = model.apply(variables, images)
+def test_r3det_forward_and_loss(batch, r3det_fwd):
+    _, gt, labels, mask = batch
+    out = r3det_fwd[2]
     assert len(out['sr']) == 1 and len(out['rois']) == 1
     # rois per level: (B, H*W, 5)
     assert out['rois'][0][0].shape == (2, 64, 5)
-    featmap_sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
-    losses = detector_loss(out, TINY_R3DET, featmap_sizes, gt, labels, mask)
+    losses = jax.jit(lambda o, g, l, m: detector_loss(
+        o, TINY_R3DET, FEATMAP_SIZES, g, l, m))(out, gt, labels, mask)
     for k in ('s0.loss_cls', 's0.loss_bbox', 'sr0.loss_cls', 'sr0.loss_bbox'):
         assert k in losses and np.isfinite(float(losses[k]))
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfit():
     """A few optimizer steps on one fixed batch should reduce the loss.
 
@@ -109,7 +132,7 @@ def test_loss_decreases_overfit():
     from r3det_tpu.parallel.mesh import make_lr_schedule, make_optimizer
     images, gt, labels, mask = make_batch(b=1)
     model, variables = init_model(TINY, images)
-    featmap_sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    featmap_sizes = FEATMAP_SIZES
     tx = make_optimizer(make_lr_schedule(base_lr=5e-3, warmup_iters=2))
     params = variables['params']
     opt_state = tx.init(params)
@@ -137,25 +160,20 @@ def test_loss_decreases_overfit():
     assert min(losses) == losses[-1] or losses[-1] < losses[0] * 0.995, losses
 
 
-def test_detector_predict_shapes():
-    images, *_ = make_batch()
-    model, variables = init_model(TINY, images)
-    out = model.apply(variables, images)
-    featmap_sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
-    dets, labels, num = detector_predict(out, TINY, featmap_sizes,
-                                         img_shape=(64, 64))
+def test_detector_predict_shapes(tiny_fwd):
+    out = tiny_fwd[2]
+    dets, labels, num = jax.jit(lambda o: detector_predict(
+        o, TINY, FEATMAP_SIZES, img_shape=(64, 64)))(out)
     assert dets.shape == (2, 16, 6)
     assert labels.shape == (2, 16)
     n = np.asarray(num)
     assert np.all(n >= 0) and np.all(n <= 16)
 
 
-def test_r3det_predict_uses_refine_head():
-    images, *_ = make_batch()
-    model, variables = init_model(TINY_R3DET, images)
-    out = model.apply(variables, images)
-    featmap_sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
-    dets, labels, num = detector_predict(out, TINY_R3DET, featmap_sizes)
+def test_r3det_predict_uses_refine_head(r3det_fwd):
+    out = r3det_fwd[2]
+    dets, labels, num = jax.jit(lambda o: detector_predict(
+        o, TINY_R3DET, FEATMAP_SIZES))(out)
     assert dets.shape == (2, 16, 6)
 
 

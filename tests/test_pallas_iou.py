@@ -18,6 +18,10 @@ def rand(n, scale=500):
         RNG.uniform(-math.pi, math.pi, n)], -1).astype(np.float32)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_pallas_matches_jnp():
     b1, b2 = jnp.asarray(rand(24)), jnp.asarray(rand(130))
     got = np.asarray(rotated_iou_pallas(b1, b2, interpret=True))

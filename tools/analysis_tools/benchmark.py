@@ -38,7 +38,7 @@ def main():
     featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
     imgs = [jnp.asarray(np.random.RandomState(i).uniform(
         -2, 2, (bs, size, size, 3)).astype(np.float32)) for i in range(4)]
-    variables = model.init(jax.random.PRNGKey(0), imgs[0][:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[0][:1])
 
     if args.forward_only:
         @jax.jit

@@ -29,7 +29,7 @@ def main():
     model, det_cfg = build_from_config(cfg)
     h, w = (args.shape * 2)[:2]
     x = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     n_params = sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(variables['params']))
 

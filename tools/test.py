@@ -56,7 +56,7 @@ def main():
 
     size = args.img_size
     sample = jnp.zeros((1, size, size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     if args.checkpoint:
         import orbax.checkpoint as ocp
         payload = ocp.PyTreeCheckpointer().restore(
