@@ -37,6 +37,24 @@ DOTA20_CLASSES = DOTA15_CLASSES + ('airport', 'helipad')
 
 
 
+def _merge_one_image(dets, num_classes, version, nms_iou_thr):
+    """Cross-patch per-class polygon NMS for one source image.
+
+    dets: (n, 7) [cx, cy, w, h, theta, score, label] already translated
+    to source-image coordinates.
+    """
+    per_cls_out = []
+    for lbl in range(num_classes):
+        cls_dets = dets[dets[:, 6] == lbl][:, :6]
+        if len(cls_dets) == 0:
+            per_cls_out.append(np.zeros((0, 6), np.float32))
+            continue
+        polys = obb2poly_np(cls_dets, version)     # (n, 9)
+        keep = polygon_nms(polys, nms_iou_thr)
+        per_cls_out.append(cls_dets[keep])
+    return per_cls_out
+
+
 class DOTADataset:
     """Iterable DOTA patch dataset over split-tool output.
 
@@ -127,7 +145,7 @@ class DOTADataset:
     # ------------------------------------------------------------------
 
     def evaluate(self, results, iou_thr=0.5, use_07_metric=True,
-                 logger=print):
+                 logger=print, nproc=None):
         """results: list (per image) of per-class (n, 6) det arrays.
 
         Returns dict with mAP + per-class AP. Parity: dota1.py:162-207.
@@ -136,7 +154,7 @@ class DOTADataset:
         mean_ap, per_cls = eval_rbbox_map(
             results, annotations, iou_thr=iou_thr, version=self.version,
             use_07_metric=use_07_metric, class_names=self.CLASSES,
-            logger=logger)
+            logger=logger, nproc=nproc)
         out = {'mAP': mean_ap}
         out.update({f'AP_{c}': ap for c, ap in per_cls.items()})
         return out
@@ -147,14 +165,16 @@ class DOTADataset:
 
     _PATCH_RE = re.compile(r'^(.*?)__\d+__(\d+)___(\d+)$')
 
-    def merge_det(self, results, nms_iou_thr=0.1):
+    def merge_det(self, results, nms_iou_thr=0.1, nproc=None):
         """Merge patch detections back to full images.
 
         Patch ids look like ``P0006__1024__0___2048`` (name, window size,
         x, y). Boxes are translated by (x, y) — window size needs no undo
         because test-time RResize rescaling already restored original-image
         coordinates — and deduped per class with polygon NMS @
-        ``nms_iou_thr``. Parity: dota1.py:209-248, 632-667.
+        ``nms_iou_thr``. Parity: dota1.py:209-248, 632-667 (incl. its
+        track_parallel_progress merge pool — nproc fans per-image merges
+        over a fork Pool, serial when cpu_count is 1).
         Returns (ids, per-image per-class det lists).
         """
         collector = defaultdict(list)
@@ -174,21 +194,18 @@ class DOTADataset:
                     [d, np.full((len(d), 1), lbl, np.float32)], -1)
                 collector[name].append(labelled)
 
-        ids, merged = [], []
+        ids = list(collector.keys())
         num_classes = len(self.CLASSES)
-        for name, chunks in collector.items():
-            dets = np.concatenate(chunks, 0)
-            per_cls_out = []
-            for lbl in range(num_classes):
-                cls_dets = dets[dets[:, 6] == lbl][:, :6]
-                if len(cls_dets) == 0:
-                    per_cls_out.append(np.zeros((0, 6), np.float32))
-                    continue
-                polys = obb2poly_np(cls_dets, self.version)     # (n, 9)
-                keep = polygon_nms(polys, nms_iou_thr)
-                per_cls_out.append(cls_dets[keep])
-            ids.append(name)
-            merged.append(per_cls_out)
+        args = [(np.concatenate(collector[name], 0), num_classes,
+                 self.version, nms_iou_thr) for name in ids]
+        if nproc is None:
+            nproc = min(os.cpu_count() or 1, 8)
+        if nproc > 1 and len(args) > 1:
+            import multiprocessing as mp
+            with mp.get_context('fork').Pool(nproc) as pool:
+                merged = pool.starmap(_merge_one_image, args)
+        else:
+            merged = [_merge_one_image(*a) for a in args]
         return ids, merged
 
     def format_results(self, results, out_dir, nms_iou_thr=0.1):
@@ -239,11 +256,12 @@ def _average_precision(recall, precision, use_07_metric=False):
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
-def _tpfp_single(det_polys, det_scores, gt_polys, iou_thr):
-    """Greedy TP/FP matching for one image & class (score-desc order).
+def _tpfp_single(det_polys, gt_polys, iou_thr):
+    """Greedy TP/FP matching for one image & class.
 
-    Parity: dota1.py tpfp_default:518-597 (simplified: no difficulty
-    split — the loader already filtered by difficulty).
+    Precondition: det_polys already sorted score-descending (the caller
+    sorts once). Parity: dota1.py tpfp_default:518-597 (simplified: no
+    difficulty split — the loader already filtered by difficulty).
     """
     nd = len(det_polys)
     tp = np.zeros(nd)
@@ -254,69 +272,82 @@ def _tpfp_single(det_polys, det_scores, gt_polys, iou_thr):
         fp[:] = 1
         return tp, fp
     ious = polygon_iou(det_polys, gt_polys)
-    order = np.argsort(-det_scores, kind='stable')
     matched = np.zeros(len(gt_polys), bool)
-    for rank, i in enumerate(order):
+    for i in range(nd):
         j = int(np.argmax(ious[i]))
         if ious[i, j] >= iou_thr and not matched[j]:
             matched[j] = True
-            tp[rank] = 1
+            tp[i] = 1
         else:
-            fp[rank] = 1
+            fp[i] = 1
     return tp, fp
+
+
+def _class_ap(c, results, annotations, iou_thr, version, use_07_metric):
+    """AP of one class over all images. Returns (ap, counted) where
+    counted=False means the class has no gt (excluded from the mean,
+    matching dota1.py eval_map's num_gts gate)."""
+    all_scores, all_tp, all_fp = [], [], []
+    num_gts = 0
+    for res, ann in zip(results, annotations):
+        dets = res[c]
+        gt_sel = ann['labels'] == c
+        if 'polygons' in ann and len(ann['polygons']):
+            gt_polys = ann['polygons'][gt_sel]
+        else:
+            gtb = ann['bboxes'][gt_sel]
+            gt_polys = obb2poly_np(
+                np.concatenate([gtb, np.zeros((len(gtb), 1),
+                                              np.float32)], -1),
+                version)[:, :8] if len(gtb) else np.zeros((0, 8))
+        num_gts += len(gt_polys)
+        if len(dets) == 0:
+            continue
+        det_polys = obb2poly_np(dets, version)[:, :8]
+        scores = dets[:, 5]
+        order = np.argsort(-scores, kind='stable')
+        tp, fp = _tpfp_single(det_polys[order], gt_polys, iou_thr)
+        all_scores.append(scores[order])
+        all_tp.append(tp)
+        all_fp.append(fp)
+    if num_gts == 0:
+        return 0.0, False
+    if not all_scores:
+        return 0.0, True
+    scores = np.concatenate(all_scores)
+    tp = np.concatenate(all_tp)
+    fp = np.concatenate(all_fp)
+    order = np.argsort(-scores, kind='stable')
+    tp = np.cumsum(tp[order])
+    fp = np.cumsum(fp[order])
+    recall = tp / max(num_gts, 1)
+    precision = tp / np.maximum(tp + fp, 1e-12)
+    return _average_precision(recall, precision, use_07_metric), True
 
 
 def eval_rbbox_map(results, annotations, iou_thr=0.5, version='v1',
                    use_07_metric=True, class_names=DOTA10_CLASSES,
-                   logger=print):
+                   logger=print, nproc=None):
     """DOTA mAP. results[i][c] = (n, 6) dets; annotations[i] has
-    'bboxes'/'labels'/'polygons'. Parity: dota1.py eval_map:324-449."""
+    'bboxes'/'labels'/'polygons'. Parity: dota1.py eval_map:324-449.
+
+    nproc: per-class TP/FP matching fans out over a fork Pool (the
+    reference parallelizes the same loop, dota1.py:376-388). Defaults to
+    min(cpu_count, num_classes); serial when that is 1.
+    """
     num_classes = len(class_names)
-    per_class_ap = {}
-    aps = []
-    for c in range(num_classes):
-        all_scores, all_tp, all_fp = [], [], []
-        num_gts = 0
-        for res, ann in zip(results, annotations):
-            dets = res[c]
-            gt_sel = ann['labels'] == c
-            if 'polygons' in ann and len(ann['polygons']):
-                gt_polys = ann['polygons'][gt_sel]
-            else:
-                gtb = ann['bboxes'][gt_sel]
-                gt_polys = obb2poly_np(
-                    np.concatenate([gtb, np.zeros((len(gtb), 1),
-                                                  np.float32)], -1),
-                    version)[:, :8] if len(gtb) else np.zeros((0, 8))
-            num_gts += len(gt_polys)
-            if len(dets) == 0:
-                continue
-            det_polys = obb2poly_np(dets, version)[:, :8]
-            scores = dets[:, 5]
-            order = np.argsort(-scores, kind='stable')
-            tp, fp = _tpfp_single(det_polys[order], scores[order], gt_polys,
-                                  iou_thr)
-            all_scores.append(scores[order])
-            all_tp.append(tp)
-            all_fp.append(fp)
-        if num_gts == 0:
-            per_class_ap[class_names[c]] = 0.0
-            continue
-        if not all_scores:
-            per_class_ap[class_names[c]] = 0.0
-            aps.append(0.0)
-            continue
-        scores = np.concatenate(all_scores)
-        tp = np.concatenate(all_tp)
-        fp = np.concatenate(all_fp)
-        order = np.argsort(-scores, kind='stable')
-        tp = np.cumsum(tp[order])
-        fp = np.cumsum(fp[order])
-        recall = tp / max(num_gts, 1)
-        precision = tp / np.maximum(tp + fp, 1e-12)
-        ap = _average_precision(recall, precision, use_07_metric)
-        per_class_ap[class_names[c]] = ap
-        aps.append(ap)
+    if nproc is None:
+        nproc = min(os.cpu_count() or 1, num_classes)
+    args = [(c, results, annotations, iou_thr, version, use_07_metric)
+            for c in range(num_classes)]
+    if nproc > 1:
+        import multiprocessing as mp
+        with mp.get_context('fork').Pool(nproc) as pool:
+            outs = pool.starmap(_class_ap, args)
+    else:
+        outs = [_class_ap(*a) for a in args]
+    per_class_ap = {class_names[c]: ap for c, (ap, _) in enumerate(outs)}
+    aps = [ap for ap, counted in outs if counted]
     mean_ap = float(np.mean(aps)) if aps else 0.0
     if logger:
         width = max(len(c) for c in class_names)
@@ -324,9 +355,6 @@ def eval_rbbox_map(results, annotations, iou_thr=0.5, version='v1',
             logger(f'{c:<{width}}  AP {ap:.4f}')
         logger(f'{"mAP":<{width}}  {mean_ap:.4f}')
     return mean_ap, per_class_ap
-
-
-DOTA20_CLASSES = DOTA15_CLASSES + ('airport', 'helipad')
 
 
 class DOTA15Dataset(DOTADataset):

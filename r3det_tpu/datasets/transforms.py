@@ -256,6 +256,52 @@ class TrainPipeline:
         self.stages += [Normalize(), Pad(32)]
         self.max_gt = max_gt
 
+    @classmethod
+    def from_config(cls, pipeline_cfg, version='v1', max_gt=256, seed=None):
+        """Build from a config pipeline dict list — every stage's params
+        (img_scale, flip_ratio, rotate_ratio, angles_range, mean/std,
+        size_divisor) take effect exactly as in the reference
+        (configs/_base_/datasets/dota1_0.py:6-15). Load/format/collect
+        stages are the dataset's and batcher's job here, so they are
+        accepted and skipped.
+        """
+        self = cls.__new__(cls)
+        rng = np.random.RandomState(seed)
+        skipped = {'LoadImageFromFile', 'LoadAnnotations',
+                   'DefaultFormatBundle', 'Collect'}
+        stages = []
+        for s in pipeline_cfg:
+            s = dict(s)
+            t = s.pop('type')
+            if t in skipped:
+                continue
+            elif t == 'RResize':
+                stages.append(RResize(tuple(s['img_scale'])))
+            elif t == 'RRandomFlip':
+                stages.append(RRandomFlip(
+                    flip_ratio=s.get('flip_ratio', 0.5),
+                    direction=s.get('direction', 'horizontal'),
+                    version=s.get('version', version), rng=rng))
+            elif t == 'PolyRandomRotate':
+                stages.append(PolyRandomRotate(
+                    rotate_ratio=s.get('rotate_ratio', 0.5),
+                    angles_range=s.get('angles_range', 180),
+                    auto_bound=s.get('auto_bound', False),
+                    version=s.get('version', version), rng=rng))
+            elif t == 'Normalize':
+                stages.append(Normalize(
+                    mean=s.get('mean', (123.675, 116.28, 103.53)),
+                    std=s.get('std', (58.395, 57.12, 57.375)),
+                    to_rgb=s.get('to_rgb', True)))
+            elif t == 'Pad':
+                stages.append(Pad(s.get('size_divisor', 32),
+                                  s.get('pad_val', 0.0)))
+            else:
+                raise ValueError(f'unknown pipeline stage type {t!r}')
+        self.stages = stages
+        self.max_gt = max_gt
+        return self
+
     def __call__(self, results):
         for stage in self.stages:
             results = stage(results)

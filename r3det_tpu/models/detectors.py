@@ -52,6 +52,13 @@ class TestCfg(NamedTuple):
     nms_version: str = 'v1'
     min_bbox_size: float = 0.0
     approx_topk: bool = False   # lax.approx_max_k for nms_pre selection
+    # static candidate budget for multiclass NMS, across (position,
+    # class) pairs. The reference suppresses EVERY pair above score_thr
+    # (bbox_nms_rotated.py:98-131) — raise this for dense scenes; the
+    # IoU kernel skips tiles past the live-candidate prefix, so a large
+    # budget costs little when few candidates pass score_thr.
+    # None -> nms_pre.
+    nms_candidates: int = None
 
 
 class DetectorConfig(NamedTuple):
@@ -416,7 +423,9 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
     nms_one = partial(multiclass_nms_rotated,
                       score_thr=t.score_thr, iou_thr=t.nms_iou_thr,
                       version=t.nms_version, max_num=t.max_per_img,
-                      pre_topk=min(t.nms_pre, boxes.shape[1]))
+                      pre_topk=min(t.nms_candidates or t.nms_pre,
+                                   boxes.shape[1] * cfg.num_classes),
+                      approx_topk=t.approx_topk)
     dets, labels, num = jax.vmap(lambda bx, sc: nms_one(bx, sc))(
         boxes, scores)
     return dets, labels, num

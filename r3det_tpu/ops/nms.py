@@ -19,14 +19,12 @@ is preserved exactly by a fixpoint sweep in score order (see
 ``_greedy_keep``) — the same suppression semantics as the reference's
 bitmask kernel + host sweep, but with no device→host sync.
 """
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from .rotated_iou import rotated_iou_pairwise, obb_corners, \
-    quad_iou_pairwise
+from .rotated_iou import rotated_iou_pairwise, quad_iou_pairwise
 
 NEG_INF = -1e30
 
@@ -64,6 +62,61 @@ def _greedy_keep(iou, valid, iou_thr):
     return keep
 
 
+BLOCK_S = 256
+
+
+def _greedy_keep_blocked(iou, valid, iou_thr, block=BLOCK_S):
+    """Exact greedy suppression, block-sequential formulation.
+
+    Equivalent to _greedy_keep but reads the suppression matrix ONCE:
+    scan score-ordered blocks of ``block`` boxes; each step applies the
+    (already final) suppression from earlier blocks in one masked
+    reduction, then resolves intra-block chains with a fixpoint on the
+    tiny (block, block) submatrix. The deep-chain worst case that costs
+    the full-matrix fixpoint dozens of (K, K) passes costs here one
+    (K, block) column slice per block plus O(chain-depth-within-block)
+    passes over (block, block).
+    """
+    k = iou.shape[0]
+    pad = (-k) % block
+    if pad:
+        iou = jnp.pad(iou, ((0, pad), (0, pad)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = k + pad
+    idx = jnp.arange(kp)
+    supp = (iou > iou_thr) & (idx[:, None] < idx[None, :])   # S[j, i], j<i
+    n_blocks = kp // block
+    ridx = jnp.arange(block)
+
+    def step(keep, b):
+        start = b * block
+        # suppression flowing in from earlier (final) keeps: (kp, block)
+        cols = jax.lax.dynamic_slice(supp, (0, start), (kp, block))
+        vblk = jax.lax.dynamic_slice(valid, (start,), (block,))
+        ext = jnp.any(cols & keep[:, None], axis=0)
+        init_b = vblk & ~ext
+        sub = jax.lax.dynamic_slice(cols, (start, 0), (block, block))
+
+        def cond(state):
+            kb, prev, it = state
+            return (it < block) & jnp.any(kb != prev)
+
+        def body(state):
+            kb, _, it = state
+            suppressed = jnp.any(sub & kb[:, None], axis=0)
+            return init_b & ~suppressed, kb, it + 1
+
+        kb, _, _ = jax.lax.while_loop(
+            cond, body, (init_b, jnp.zeros_like(init_b),
+                         jnp.zeros((), jnp.int32)))
+        keep = jax.lax.dynamic_update_slice(keep, kb, (start,))
+        return keep, None
+
+    keep0 = jnp.zeros((kp,), bool)
+    keep, _ = jax.lax.scan(step, keep0, jnp.arange(n_blocks))
+    return keep[:k]
+
+
 
 
 @partial(jax.jit, static_argnames=('max_out', 'negate_angle'))
@@ -85,35 +138,58 @@ def rnms(dets, iou_thr, max_out=2000, negate_angle=False):
 
 
 def _nms_core(boxes, scores, iou_thr, max_out, valid=None, labels=None,
-              label_aware=False, negate_angle=False):
+              label_aware=False, negate_angle=False, presorted=False):
     """Shared static-shape NMS: sort, IoU, greedy sweep, top-max_out.
 
     negate_angle: use the detectron2/mmcv angle convention for the
     suppression IoU (reference v3/'mmcv' NMS backends — see
     ops.rotated_iou.negate_theta). Gathered outputs keep original boxes.
+
+    presorted: boxes/scores/valid already score-descending with every
+    valid candidate in a prefix (multiclass feeds top_k output) — skips
+    the argsort.
+
+    Cost scales with the LIVE candidate count: invalid candidates (below
+    score_thr etc.) must be encoded as scores of NEG_INF so the sort
+    clusters valid boxes into a prefix; the TPU IoU kernel then skips
+    every tile past that prefix (valid_count scalar prefetch), and the
+    blocked sweep reads the suppression matrix once.
     """
     from .rotated_iou import negate_theta
     k = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((k,), dtype=bool)
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
+    if presorted:
+        order = jnp.arange(k)
+        boxes_s = boxes
+        valid_s = valid
+        labels_s = labels
+    else:
+        order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+        boxes_s = boxes[order]
+        valid_s = valid[order]                  # prefix of ones
+        labels_s = labels[order] if labels is not None else None
     if negate_angle:
         boxes_s = negate_theta(boxes_s)
-    valid_s = valid[order]
+    # prefix length covering every valid entry (valid may have holes —
+    # e.g. the v3 tiny-box skip — so last-valid+1, not sum)
+    vcount = jnp.where(
+        jnp.any(valid_s),
+        k - jnp.argmax(valid_s[::-1]).astype(jnp.int32), 0)
     from .pallas_iou import rotated_iou_pallas
     # greedy suppression reads only j < i pairs: the TPU kernel skips the
-    # lower triangle at tile granularity (~2x less IoU work). Resolved
-    # per lowering platform so CPU-mesh jits take the jnp path.
+    # lower triangle at tile granularity (~2x less IoU work) plus every
+    # tile past the valid prefix. Resolved per lowering platform so
+    # CPU-mesh jits take the jnp path.
     iou = jax.lax.platform_dependent(
-        boxes_s,
-        tpu=lambda b: rotated_iou_pallas(b, b, upper_only=True),
-        default=lambda b: rotated_iou_pairwise(b, b, backend='jnp'))
-    if label_aware and labels is not None:
-        labels_s = labels[order]
+        boxes_s, vcount,
+        tpu=lambda b, v: rotated_iou_pallas(b, b, upper_only=True,
+                                            valid_count=v),
+        default=lambda b, v: rotated_iou_pairwise(b, b, backend='jnp'))
+    if label_aware and labels_s is not None:
         same = labels_s[:, None] == labels_s[None, :]
         iou = jnp.where(same, iou, 0.0)
-    keep = _greedy_keep(iou, valid_s, iou_thr)
+    keep = _greedy_keep_blocked(iou, valid_s, iou_thr)
     # Indices (into the original array) of kept boxes, in score order,
     # padded with -1.
     rank = jnp.where(keep, jnp.arange(k), k + 1)
@@ -125,15 +201,16 @@ def _nms_core(boxes, scores, iou_thr, max_out, valid=None, labels=None,
 
 @partial(jax.jit, static_argnames=('max_out',))
 def batched_rnms(boxes, scores, labels, iou_thr, max_out=2000):
-    """v1 multi-class NMS: offset centers by label * (extent + 1).
+    """v1 multi-class NMS.
 
-    Parity: rnms_wrapper.py:37-69. Returns (dets (max_out, 6), labels
-    (max_out,), num_kept); invalid rows zeroed, labels -1.
+    Parity: rnms_wrapper.py:37-69 — its label*(extent+1) center-offset
+    trick makes cross-class IoU exactly 0, which is what label gating
+    computes directly (equivalence is unit-tested). Returns
+    (dets (max_out, 6), labels (max_out,), num_kept); invalid rows
+    zeroed, labels -1.
     """
-    extent = jnp.max(jnp.abs(boxes[:, :2])) + jnp.max(boxes[:, 2:4])
-    offs = boxes.at[:, :2].add(labels[:, None].astype(boxes.dtype) *
-                               (extent + 1.0))
-    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out)
+    keep_idx, n = _nms_core(boxes, scores, iou_thr, max_out, labels=labels,
+                            label_aware=True)
     return _gather_dets(boxes, scores, labels, keep_idx), n
 
 
@@ -151,22 +228,15 @@ def ml_nms_rotated(boxes, scores, labels, iou_thr, max_out=2000):
 @partial(jax.jit, static_argnames=('max_out',))
 def obb_batched_nms(boxes, scores, labels, iou_thr, max_out=2000,
                     small_box_thr=1e-3):
-    """v3 multi-class NMS: hbb-extent class offsets + tiny-box skip.
+    """v3 multi-class NMS: tiny-box skip + detectron2/mmcv angle
+    convention; label gating replaces the hbb-extent class-offset trick
+    (same keep sets, see batched_rnms).
 
     Parity: nms_rotated_wrapper.py:36-98.
     """
     valid = jnp.minimum(boxes[:, 2], boxes[:, 3]) >= small_box_thr
-    corners = obb_corners(boxes)
-    xs = corners[..., 0]
-    ys = corners[..., 1]
-    extent = jnp.maximum(
-        jnp.where(valid, xs.max(-1), 0.0).max() -
-        jnp.where(valid, xs.min(-1), 0.0).min(),
-        jnp.where(valid, ys.max(-1), 0.0).max() -
-        jnp.where(valid, ys.min(-1), 0.0).min())
-    offs = boxes.at[:, :2].add(labels[:, None].astype(boxes.dtype) *
-                               (extent + 1.0))
-    keep_idx, n = _nms_core(offs, scores, iou_thr, max_out, valid=valid,
+    keep_idx, n = _nms_core(boxes, scores, iou_thr, max_out, valid=valid,
+                            labels=labels, label_aware=True,
                             negate_angle=True)
     return _gather_dets(boxes, scores, labels, keep_idx), n
 
@@ -200,9 +270,11 @@ def _gather_dets(boxes, scores, labels, keep_idx):
     return dets, out_labels
 
 
-@partial(jax.jit, static_argnames=('version', 'max_num', 'pre_topk'))
+@partial(jax.jit, static_argnames=('version', 'max_num', 'pre_topk',
+                                   'approx_topk'))
 def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
-                           version='v1', max_num=2000, pre_topk=2000):
+                           version='v1', max_num=2000, pre_topk=2000,
+                           approx_topk=False):
     """Multi-class rotated NMS over per-class scores, shape-static.
 
     Args:
@@ -216,6 +288,13 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
         (bbox_nms_rotated.py:45-131). 'mmcv' behaves like label-aware v2.
       max_num: output cap.
       pre_topk: static candidate budget across (position, class) pairs.
+        When >= N*C no selection happens at all (exact reference
+        semantics: every pair above score_thr competes).
+      approx_topk: use lax.approx_max_k for the candidate selection
+        (TPU PartialReduce, ~10x faster than the full sort). Only
+        affects WHICH candidates enter the static budget; misses sit at
+        the low-score boundary, so with a budget comfortably above the
+        live count the result is identical.
 
     Returns (dets (max_num, 6), labels (max_num,), num_valid).
     """
@@ -232,39 +311,35 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
     ok = flat_scores > score_thr
     gated = jnp.where(ok, flat_scores, NEG_INF)
     k = min(pre_topk, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(gated, k)
+    presorted = True
+    if k == flat_scores.shape[0]:
+        # full budget: no selection, let _nms_core sort
+        top_scores, top_idx = gated, jnp.arange(k)
+        presorted = False
+    elif approx_topk:
+        top_scores, top_idx = jax.lax.approx_max_k(gated, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(gated, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
     valid = top_scores > NEG_INF / 2
 
-    if version == 'v1':
-        extent = jnp.max(jnp.abs(jnp.where(valid[:, None],
-                                           top_boxes[:, :2], 0.0))) + \
-            jnp.max(jnp.where(valid, top_boxes[:, 2], 0.0) +
-                    jnp.where(valid, top_boxes[:, 3], 0.0))
-        offs = top_boxes.at[:, :2].add(
-            top_labels[:, None].astype(top_boxes.dtype) * (extent + 1.0))
-        keep_idx, num = _nms_core(offs, top_scores, iou_thr, max_num,
-                                  valid=valid)
-    elif version == 'v3':
-        tiny = jnp.minimum(top_boxes[:, 2], top_boxes[:, 3]) < 1e-3
-        corners = obb_corners(top_boxes)
-        vz = valid & ~tiny
-        xs = jnp.where(vz[:, None], corners[..., 0], 0.0)
-        ys = jnp.where(vz[:, None], corners[..., 1], 0.0)
-        extent = jnp.maximum(xs.max() - xs.min(), ys.max() - ys.min())
-        offs = top_boxes.at[:, :2].add(
-            top_labels[:, None].astype(top_boxes.dtype) * (extent + 1.0))
-        keep_idx, num = _nms_core(offs, top_scores, iou_thr, max_num,
-                                  valid=vz, negate_angle=True)
-    else:   # 'v2' and 'mmcv': label-aware gating
-        # v2 (ml_nms_rotated) uses the original-detectron2 corner gen —
-        # same convention as our kernel; 'mmcv' (mmcv.ops.nms_rotated)
-        # uses the mmcv/v3 convention (negated theta).
-        keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
-                                  valid=valid, labels=top_labels,
-                                  label_aware=True,
-                                  negate_angle=(version == 'mmcv'))
+    # All four reference policies are per-class NMS in disguise: the
+    # v1/v3 class-offset tricks exist only because those CUDA kernels
+    # lacked label gating (rnms_wrapper.py:37-69, nms_rotated_wrapper.py:
+    # 79-98); with offsets, cross-class IoU is exactly 0 — identical to
+    # gating labels (test_nms.py asserts the equivalence). So one
+    # label-gated pass serves every version; the version selects only
+    # the angle convention (v3/'mmcv' kernels rotate with the opposite
+    # sign — ops.rotated_iou.negate_theta) and the v3 tiny-box skip.
+    if version == 'v3':
+        valid = valid & (jnp.minimum(top_boxes[:, 2],
+                                     top_boxes[:, 3]) >= 1e-3)
+    keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
+                              valid=valid, labels=top_labels,
+                              label_aware=True,
+                              negate_angle=version in ('v3', 'mmcv'),
+                              presorted=presorted)
 
     dets, labels_out = _gather_dets(top_boxes, top_scores, top_labels,
                                     keep_idx)

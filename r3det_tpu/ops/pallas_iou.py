@@ -99,6 +99,28 @@ def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode, upper_only=False):
     _iou_tile_body(b1_ref, b2_ref, out_ref, mode)
 
 
+def _iou_tile_kernel_vcount(v_ref, b1_ref, b2_ref, out_ref, *, mode,
+                            upper_only=False):
+    """Valid-prefix variant: tiles entirely past the first v_ref[0] rows
+    or columns are zero-filled without computing. Callers sort valid
+    boxes to a prefix (NMS sorts by gated score), so IoU work scales
+    with the LIVE candidate count, not the static padding K."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    v = v_ref[0]
+    skip = (i * TILE_R >= v) | (j * TILE_C >= v)
+    if upper_only:
+        skip |= (i * TILE_R) >= ((j + 1) * TILE_C)
+
+    @pl.when(skip)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(skip))
+    def _():
+        _iou_tile_body(b1_ref, b2_ref, out_ref, mode)
+
+
 def _iou_tile_body(b1_ref, b2_ref, out_ref, mode):
     f1 = [b1_ref[:, i:i + 1] for i in range(5)]          # (R, 1)
     f2 = [b2_ref[i:i + 1, :] for i in range(5)]          # (1, C)
@@ -120,11 +142,15 @@ def _iou_tile_body(b1_ref, b2_ref, out_ref, mode):
 @functools.partial(jax.jit, static_argnames=('mode', 'interpret',
                                               'upper_only'))
 def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
-                       upper_only=False):
+                       upper_only=False, valid_count=None):
     """Dense (N, M) rotated IoU/IoF via the tiled clip kernel.
 
     upper_only zeroes tiles strictly below the diagonal (valid only for
-    the self-IoU consumed by greedy NMS, which reads j < i pairs)."""
+    the self-IoU consumed by greedy NMS, which reads j < i pairs).
+    valid_count (traced int scalar): when given, rows/cols at index >=
+    valid_count produce zeros without computing — callers must have
+    sorted valid entries to a prefix. Makes NMS IoU cost track the live
+    candidate count instead of the static K."""
     n, m = boxes1.shape[0], boxes2.shape[0]
     if n == 0 or m == 0:
         return jnp.zeros((n, m), dtype=jnp.float32)
@@ -134,19 +160,42 @@ def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
     b2 = jnp.pad(boxes2.astype(jnp.float32), ((0, pad_m), (0, 0))).T
     np_, mp = n + pad_n, m + pad_m
 
-    out = pl.pallas_call(
-        functools.partial(_iou_tile_kernel, mode=mode,
-                          upper_only=upper_only),
-        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+    if valid_count is None:
+        out = pl.pallas_call(
+            functools.partial(_iou_tile_kernel, mode=mode,
+                              upper_only=upper_only),
+            out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+            grid=(np_ // TILE_R, mp // TILE_C),
+            in_specs=[
+                pl.BlockSpec((TILE_R, 5), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((5, TILE_C), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(b1, b2)
+        return out[:n, :m]
+
+    vc = jnp.asarray(valid_count, jnp.int32).reshape((1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(np_ // TILE_R, mp // TILE_C),
         in_specs=[
-            pl.BlockSpec((TILE_R, 5), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_R, 5), lambda i, j, v: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, TILE_C), lambda i, j: (0, j),
+            pl.BlockSpec((5, TILE_C), lambda i, j, v: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j, v: (i, j),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_iou_tile_kernel_vcount, mode=mode,
+                          upper_only=upper_only),
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(b1, b2)
+    )(vc, b1, b2)
     return out[:n, :m]

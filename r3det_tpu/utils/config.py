@@ -78,8 +78,11 @@ class Config:
         """Deep-merge child into base (mmcv semantics)."""
         out = copy.deepcopy(base)
         for k, v in child.items():
-            if isinstance(v, dict) and v.pop('_delete_', False):
-                out[k] = v
+            if isinstance(v, dict) and v.get('_delete_', False):
+                # don't mutate the caller's dict (it may be shared
+                # between two merges of the same base file)
+                out[k] = {kk: vv for kk, vv in v.items()
+                          if kk != '_delete_'}
             elif (k in out and isinstance(out[k], dict)
                   and isinstance(v, dict)):
                 out[k] = Config._merge(out[k], v)

@@ -123,3 +123,72 @@ def test_merge_and_submission(split_dir, tmp_path):
     with zipfile.ZipFile(zip_path) as z:
         names = z.namelist()
     assert 'Task1_plane.txt' in names and len(names) == 3
+
+
+def test_mesh_eval_matches_single_device(split_dir):
+    """evaluate_dataset over an 8-device CPU mesh == single device.
+
+    Reference counterpart: multi_gpu_test + result collection
+    (/root/reference/tools/test.py:204-213).
+    """
+    import jax
+    import jax.numpy as jnp
+    from r3det_tpu.datasets.dota import DOTADataset
+    from r3det_tpu.models.detectors import (DetectorConfig, StageTrainCfg,
+                                            build_detector)
+    from r3det_tpu.models.detectors import TestCfg as InferCfg
+    from r3det_tpu.parallel.mesh import make_mesh
+    from r3det_tpu.utils.eval_loop import evaluate_dataset
+
+    ds = DOTADataset(f'{split_dir}/annfiles', f'{split_dir}/images',
+                     version='v1', filter_empty=False,
+                     classes=('plane', 'ship', 'small-vehicle'))
+    cfg = DetectorConfig(
+        num_classes=3, stacked_convs=1, feat_channels=32, backbone_depth=10,
+        s0_train=StageTrainCfg(0.5, 0.4, 0.0, 'v1'),
+        test=InferCfg(nms_pre=128, max_per_img=32, score_thr=0.0))
+    model = build_detector(cfg, dtype=jnp.float32)
+    sample = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+
+    single = evaluate_dataset(variables, model, cfg, ds, img_size=512,
+                              batch_size=8)
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    sharded = evaluate_dataset(variables, model, cfg, ds, img_size=512,
+                               batch_size=8, mesh=mesh)
+    assert len(single) == len(sharded) == len(ds)
+    for a, b in zip(single, sharded):
+        for da, db in zip(a, b):
+            assert da.shape == db.shape
+            if len(da):
+                np.testing.assert_allclose(da, db, atol=1e-4, rtol=1e-4)
+
+
+def test_parallel_eval_and_merge_match_serial(split_dir):
+    """nproc>1 fork-pool eval/merge must equal the serial path
+    (reference parallelizes the same loops, dota1.py:376-388, :245-247)."""
+    from r3det_tpu.datasets.dota import DOTADataset
+    ds = DOTADataset(f'{split_dir}/annfiles', f'{split_dir}/images',
+                     version='v1',
+                     classes=('plane', 'ship', 'small-vehicle'))
+    rng = np.random.RandomState(3)
+    results = []
+    for info in ds.data_infos:
+        ann = info['ann']
+        per = []
+        for c in range(3):
+            d = ann['bboxes'][ann['labels'] == c]
+            jit = d + rng.uniform(-2, 2, d.shape).astype(np.float32)
+            per.append(np.concatenate(
+                [jit, rng.uniform(0.3, 1, (len(d), 1)).astype(np.float32)],
+                -1))
+        results.append(per)
+    m1 = ds.evaluate(results, logger=None, nproc=1)
+    m2 = ds.evaluate(results, logger=None, nproc=2)
+    assert m1 == m2
+    ids1, merged1 = ds.merge_det(results, nproc=1)
+    ids2, merged2 = ds.merge_det(results, nproc=2)
+    assert ids1 == ids2
+    for a, b in zip(merged1, merged2):
+        for da, db in zip(a, b):
+            np.testing.assert_array_equal(da, db)

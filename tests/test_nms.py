@@ -163,3 +163,47 @@ def test_multiclass_nms_label_awareness_differs_from_blind():
         jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
         iou_thr=0.3, version='v2', max_num=4, pre_topk=8)
     assert int(num) == 2
+
+
+def test_multiclass_nms_dense_scene_full_budget_matches_oracle():
+    """Dense case: every (position, class) candidate above score_thr.
+
+    With nms_candidates >= the above-thr candidate count, the result
+    must equal the reference semantics exactly — suppress ALL pairs
+    above score_thr, truncate to max_num after NMS
+    (bbox_nms_rotated.py:98-131). Candidate budget smaller than the
+    live count (round-1's global pre-truncation) is the deviation this
+    guards against.
+    """
+    n, c = 150, 3
+    boxes = rand_boxes(n, scale=300.0)
+    scores = RNG.uniform(0.2, 1.0, (n, c + 1)).astype(np.float32)
+    # oracle over the flattened (position, class) pairs
+    flat_boxes = np.repeat(boxes, c, axis=0)
+    flat_scores = scores[:, :c].reshape(-1)
+    flat_labels = np.tile(np.arange(c), n)
+    want = greedy_nms_oracle(flat_boxes, flat_scores, 0.3, flat_labels)
+    want_scores = np.sort(flat_scores[want])[::-1][:40]
+
+    dets, labels, num = multiclass_nms_rotated(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+        iou_thr=0.3, version='v1', max_num=40, pre_topk=n * c)
+    num = int(num)
+    assert num == min(len(want), 40)
+    np.testing.assert_allclose(np.asarray(dets)[:num, 5], want_scores[:num],
+                               atol=1e-6)
+
+
+def test_blocked_sweep_equals_fixpoint():
+    """_greedy_keep_blocked must match _greedy_keep on random matrices."""
+    from r3det_tpu.ops.nms import _greedy_keep, _greedy_keep_blocked
+    for trial, (k, thr) in enumerate([(50, 0.3), (300, 0.1), (513, 0.5)]):
+        iou = RNG.uniform(0, 1, (k, k)).astype(np.float32)
+        iou = np.triu(iou, 1) * (RNG.uniform(0, 1, (k, k)) < 0.1)
+        valid = RNG.uniform(0, 1, k) < 0.8
+        a = np.asarray(_greedy_keep(jnp.asarray(iou), jnp.asarray(valid),
+                                    thr))
+        b = np.asarray(_greedy_keep_blocked(jnp.asarray(iou),
+                                            jnp.asarray(valid), thr,
+                                            block=64))
+        np.testing.assert_array_equal(a, b, err_msg=f'trial {trial}')

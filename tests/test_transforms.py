@@ -110,3 +110,56 @@ def test_pad_gt_truncates_by_area():
     assert set(l[:4].tolist()) == {6, 7, 8, 9}   # largest kept
     b2, l2, m2 = pad_gt(np.zeros((0, 5)), np.zeros((0,)), 4)
     assert not m2.any()
+
+
+def test_pipeline_from_config_params_take_effect():
+    """Stock-config pipeline dicts drive the stages (VERDICT item 6):
+    flip_ratio=1.0 must flip every sample, img_scale must resize."""
+    from r3det_tpu.datasets.transforms import TrainPipeline
+    cfg = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='RResize', img_scale=(256, 256)),
+        dict(type='RRandomFlip', flip_ratio=1.0),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+    ]
+    pipe = TrainPipeline.from_config(cfg, version='v1', max_gt=8, seed=0)
+    img = np.zeros((128, 128, 3), np.uint8)
+    img[:, :10] = 255                         # bright stripe on the left
+    gt = np.array([[20.0, 64.0, 10.0, 6.0, -0.4]], np.float32)
+    out = pipe({'img': img, 'gt_bboxes': gt.copy(),
+                'gt_labels': np.array([0], np.int32)})
+    assert out['image'].shape == (256, 256, 3)
+    # flip_ratio=1.0: stripe must now be on the right
+    assert out['image'][:, -10:].mean() > out['image'][:, :10].mean()
+    # box center flipped: cx = W - 1 - 2*20 scaled: orig cx 20*2=40 -> 256-40-1
+    assert abs(out['gt_bboxes'][0, 0] - (256 - 40 - 1)) < 2.0
+
+
+def test_pipeline_from_config_rotate_params():
+    from r3det_tpu.datasets.transforms import PolyRandomRotate, TrainPipeline
+    cfg = [
+        dict(type='RResize', img_scale=(128, 128)),
+        dict(type='PolyRandomRotate', rotate_ratio=1.0, angles_range=30),
+        dict(type='Normalize'),
+        dict(type='Pad', size_divisor=32),
+    ]
+    pipe = TrainPipeline.from_config(cfg, version='v3', max_gt=8, seed=1)
+    stages = [s for s in pipe.stages if isinstance(s, PolyRandomRotate)]
+    assert len(stages) == 1
+    assert stages[0].rotate_ratio == 1.0
+    assert stages[0].angles_range == 30
+    assert stages[0].version == 'v3'
+
+
+def test_pipeline_from_config_rejects_unknown_stage():
+    from r3det_tpu.datasets.transforms import TrainPipeline
+    try:
+        TrainPipeline.from_config([dict(type='Mosaic')])
+    except ValueError as e:
+        assert 'Mosaic' in str(e)
+    else:
+        raise AssertionError('expected ValueError')

@@ -38,10 +38,9 @@ def main():
 
     from r3det_tpu.utils.config import Config
     from r3det_tpu.utils.builder import build_from_config
-    from r3det_tpu.parallel.mesh import make_predict_step
+    from r3det_tpu.parallel.mesh import make_mesh
     from r3det_tpu.datasets.dota import DOTADataset
-    from r3det_tpu.datasets.transforms import Normalize, Pad, RResize
-    from r3det_tpu.core.rtransforms_np import rbbox2result
+    from r3det_tpu.utils.eval_loop import evaluate_dataset
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
@@ -65,38 +64,22 @@ def main():
                      'batch_stats': payload.get('batch_stats', {})}
         print(f'loaded {args.checkpoint}')
 
-    featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
-    predict = make_predict_step(model, det_cfg, featmap_sizes,
-                                img_shape=(size, size))
-    pipeline = [RResize((size, size)), Normalize(), Pad(32)]
-
-    results = []
-    bs = args.batch_size
+    # shard eval batches over every local device (reference multi_gpu_test
+    # equivalent; see r3det_tpu/utils/eval_loop.py for the multi-host path)
+    n_dev = jax.local_device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    bs = max(args.batch_size, n_dev)
+    bs -= bs % max(n_dev, 1)
     t0 = time.time()
-    for start in range(0, len(ds), bs):
-        batch_samples = []
-        for i in range(start, min(start + bs, len(ds))):
-            r = ds.get_sample(i)
-            for stage in pipeline:
-                r = stage(r)
-            batch_samples.append(r)
-        imgs = np.stack([s['img'] for s in batch_samples])
-        if len(imgs) < bs:   # pad the tail batch
-            pad = np.repeat(imgs[-1:], bs - len(imgs), axis=0)
-            imgs = np.concatenate([imgs, pad])
-        dets, labels, num = jax.device_get(
-            predict(variables, jnp.asarray(imgs)))
-        for bi, s in enumerate(batch_samples):
-            n = int(num[bi])
-            d = dets[bi, :n].astype(np.float32)
-            # undo resize (angle not rescaled)
-            d[:, :4] /= s['scale_factor']
-            results.append(rbbox2result(d, labels[bi, :n],
-                                        det_cfg.num_classes))
-        done = min(start + bs, len(ds))
-        if (start // bs) % 20 == 0:
-            print(f'{done}/{len(ds)}  '
+
+    def progress(done, total):
+        if done % (20 * bs) < bs or done == total:
+            print(f'{done}/{total}  '
                   f'({done / (time.time() - t0):.1f} img/s)')
+
+    results = evaluate_dataset(variables, model, det_cfg, ds,
+                               img_size=size, batch_size=bs, mesh=mesh,
+                               progress=progress)
 
     if args.out:
         with open(args.out, 'wb') as f:

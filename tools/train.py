@@ -95,11 +95,12 @@ def main():
                          train_d.get('img_prefix'),
                          version=det_cfg.angle_version,
                          classes=train_d.get('classes'))
-        with_rotate = any(s.get('type') == 'PolyRandomRotate'
-                          for s in train_d.get('pipeline', []))
-        pipeline = TrainPipeline(img_scale=(size, size),
-                                 version=det_cfg.angle_version,
-                                 with_rotate=with_rotate, seed=args.seed)
+        pipeline_cfg = train_d.get('pipeline') or [
+            dict(type='RResize', img_scale=(size, size)),
+            dict(type='RRandomFlip', flip_ratio=0.5),
+            dict(type='Normalize'), dict(type='Pad', size_divisor=32)]
+        pipeline = TrainPipeline.from_config(
+            pipeline_cfg, version=det_cfg.angle_version, seed=args.seed)
         loader = DetLoader(ds, pipeline, batch_size=batch_size,
                            seed=args.seed)
         iters_per_epoch = len(loader)
@@ -142,6 +143,30 @@ def main():
     featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
     step_fn = make_train_step(model, det_cfg, featmap_sizes, mesh)
 
+    # ---- eval hook (reference EvalHook: evaluation.interval epochs) --
+    eval_cfg = cfg.get('evaluation', Config({}))
+    eval_interval = eval_cfg.get('interval', 0) * iters_per_epoch \
+        if not args.synthetic and cfg.get('data') and \
+        cfg.data.get('val') else 0
+    val_ds = None
+
+    def run_eval(state):
+        nonlocal val_ds
+        from r3det_tpu.datasets.dota import DOTADataset
+        from r3det_tpu.utils.eval_loop import evaluate_dataset
+        if val_ds is None:
+            val_d = cfg.data.val
+            val_ds = DOTADataset(val_d.ann_file, val_d.get('img_prefix'),
+                                 version=det_cfg.angle_version,
+                                 filter_empty=False,
+                                 classes=val_d.get('classes'))
+        variables = {'params': jax.device_get(state.params),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        results = evaluate_dataset(variables, model, det_cfg, val_ds,
+                                   img_size=size, batch_size=batch_size,
+                                   mesh=mesh)
+        return val_ds.evaluate(results)
+
     # ---- loop -------------------------------------------------------
     log_path = osp.join(work_dir, 'train_log.jsonl')
     ckpt_interval = cfg.get('checkpoint_config', Config({})).get(
@@ -181,6 +206,15 @@ def main():
                 path = save_checkpoint(osp.join(work_dir, 'ckpt'), step_i,
                                        jax.device_get(state))
                 print(f'checkpoint -> {path}')
+            if eval_interval and (step_i % eval_interval == 0 or
+                                  step_i == total_steps):
+                metrics = run_eval(state)
+                rec = dict(step=step_i, mode='val',
+                           **{k: float(v) for k, v in metrics.items()})
+                print(f'val mAP @ step {step_i}: '
+                      f'{metrics.get("mAP", float("nan")):.4f}')
+                logf.write(json.dumps(rec) + '\n')
+                logf.flush()
 
 
 def _load_state_dict(path):
