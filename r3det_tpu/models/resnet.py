@@ -131,16 +131,48 @@ class ResNet(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         if self.stem_space_to_depth:
+            # fused stem: conv + FrozenBN + relu + maxpool in one Pallas
+            # kernel on TPU (XLA's 12-channel conv wastes ~10x on lane
+            # padding — ops/stem_pool.py). Params keep the exact tree
+            # paths of the module form (conv1/kernel, bn1/..), so
+            # checkpoints are interchangeable.
+            from ..ops.stem_pool import (stem_conv_pool_pallas,
+                                         stem_conv_pool_reference)
             x = space_to_depth_2x(x)
-            x = nn.Conv(64, (4, 4), padding=[(2, 1), (2, 1)],
-                        use_bias=False, dtype=self.dtype, name='conv1')(x)
+            conv1 = self.param(
+                'conv1', lambda k: {'kernel': nn.initializers.lecun_normal()(
+                    k, (4, 4, 12, 64), jnp.float32)})
+            bn1 = self.param(
+                'bn1', lambda k: {'scale': jnp.ones((64,), jnp.float32),
+                                  'bias': jnp.zeros((64,), jnp.float32)})
+            stats = self.variable(
+                'batch_stats', 'bn1',
+                lambda: {'mean': jnp.zeros((64,), jnp.float32),
+                         'var': jnp.ones((64,), jnp.float32)})
+            inv = bn1['scale'] * jax.lax.rsqrt(stats.value['var'] + 1e-5)
+            off = bn1['bias'] - stats.value['mean'] * inv
+            kern = conv1['kernel']
+            if self.frozen_stages >= 0:
+                # stem is frozen in every shipped config: cut gradients
+                # BEFORE the platform dispatch so autodiff never tries to
+                # JVP the pallas branch (it has no derivative rule)
+                x, kern, inv, off = jax.lax.stop_gradient(
+                    (x, kern, inv, off))
+                x = jax.lax.platform_dependent(
+                    x, kern, inv, off,
+                    tpu=stem_conv_pool_pallas,
+                    default=stem_conv_pool_reference).astype(self.dtype)
+            else:
+                x = stem_conv_pool_reference(x, kern, inv,
+                                             off).astype(self.dtype)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,
                         dtype=self.dtype, name='conv1')(x)
-        x = FrozenBN(64, dtype=self.dtype, name='bn1')(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            x = FrozenBN(64, dtype=self.dtype, name='bn1')(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 

@@ -1,0 +1,160 @@
+"""Fused ResNet stem: conv4x4/s1 (space-to-depth form) + BN + ReLU +
+maxpool3x3/s2 in ONE Pallas TPU kernel.
+
+Why: the stem is the worst op in the network for XLA on TPU. Its 12
+input channels occupy 12/128 lanes, so the convolution's data path is
+~10x padded; measured 15 ms of a 117 ms batch-16 forward (tiny R3Det,
+1024²) for 6.4 GFLOP/img of math that is bandwidth-bound in theory
+(~250 MB/img of traffic -> ~0.5 ms). The kernel:
+
+- DMAs overlapping 20-row input windows (halo) from HBM — overlapping
+  windows cannot be expressed as BlockSpec tiles;
+- builds the 192-wide im2col patch matrix in VMEM (16 static shifted
+  slices concatenated on the lane axis), turning the 12-channel conv
+  into ONE K=192 matmul that runs near MXU speed;
+- applies the folded FrozenBN affine + ReLU in registers;
+- max-pools 3x3/s2 with -inf edge handling and writes the pooled
+  (8, W/2, 64) row block.
+
+Numerics match conv->bn->relu->pool exactly (same f32 accumulation);
+parity is tested against the XLA composition in interpret mode (CPU)
+and on TPU.
+
+Reference counterpart: the mmcv/torchvision ResNet stem the reference
+imports (SURVEY.md §2.9); the space-to-depth folding itself is
+models/resnet.py::fold_stem_kernel.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CIN = 12
+COUT = 64
+KH = KW = 4
+TILE_P = 8                      # pooled rows per grid step
+CONV_ROWS = 2 * TILE_P + 1      # conv rows feeding TILE_P pooled rows
+IN_ROWS = CONV_ROWS + KH - 1    # input rows incl. conv halo
+
+
+def _stem_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf, sem, *,
+                 w):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    # conv rows c0..c0+16 with c0 = 16p-1; padded-row start = c0+1 = 16p
+    row0 = 16 * p
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, IN_ROWS)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    x = xbuf[:]                                     # (IN_ROWS, w+3, 12)
+
+    # im2col: 16 static shifted views -> (CONV_ROWS, w, 192)
+    cols = []
+    for ky in range(KH):
+        for kx in range(KW):
+            cols.append(x[ky:ky + CONV_ROWS, kx:kx + w, :])
+    patch = jnp.concatenate(cols, axis=-1)
+    y = jax.lax.dot_general(
+        patch.reshape(CONV_ROWS * w, KH * KW * CIN), w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (CONV_ROWS*w, 64)
+    y = y.reshape(CONV_ROWS, w, COUT)
+    y = y * scale_ref[0] + bias_ref[0]
+    y = jnp.maximum(y, 0.0)
+
+    # conv row c0 = 16p-1 is out of range at p == 0: mask it out of the
+    # pool with -inf (pool pad semantics)
+    neg = jnp.float32(-jnp.inf)
+    first_global_row = 16 * p - 1
+    row_ids = first_global_row + jax.lax.broadcasted_iota(
+        jnp.int32, (CONV_ROWS, w, COUT), 0)
+    y = jnp.where(row_ids >= 0, y, neg)
+
+    # maxpool 3x3 stride 2 without strided slices (Mosaic lowers those
+    # to unsupported gathers): full-resolution 3-neighborhood maxes via
+    # static shifted slices, then stride-2 subsampling via reshape.
+    wq = w // 2
+    # column 3-max (pad 1 -inf both sides)
+    colpad = jnp.full((CONV_ROWS, 1, COUT), neg, y.dtype)
+    yc = jnp.concatenate([colpad, y, colpad], axis=1)
+    cmax = jnp.maximum(jnp.maximum(yc[:, 0:w], yc[:, 1:w + 1]),
+                       yc[:, 2:w + 2])               # (CONV_ROWS, w, C)
+    # row 3-max
+    rowpad = jnp.full((1, w, COUT), neg, y.dtype)
+    yr = jnp.concatenate([rowpad, cmax, rowpad], axis=0)
+    m2 = jnp.maximum(jnp.maximum(yr[0:CONV_ROWS], yr[1:CONV_ROWS + 1]),
+                     yr[2:CONV_ROWS + 2])            # centered 9-max
+    # pooled (p_loc, q): center = conv row 2*p_loc+1 (local), col 2q
+    rows = m2[1:1 + 2 * TILE_P].reshape(TILE_P, 2, w, COUT)[:, 0]
+    out = rows.reshape(TILE_P, wq, 2, COUT)[:, :, 0, :]
+    out_ref[0, :, :, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def stem_conv_pool_pallas(x12, kernel, scale, bias, interpret=False):
+    """x12: (B, H, W, 12) [s2d of the 2H x 2W x 3 image], kernel:
+    (4, 4, 12, 64), scale/bias: (64,) folded FrozenBN affine.
+    Returns (B, H/2, W/2, 64). H must be a multiple of 16, W of 2.
+    """
+    b, h, w, cin = x12.shape
+    assert cin == CIN and h % (2 * TILE_P) == 0 and w % 2 == 0, x12.shape
+    # rows padded (3, 2): conv row c reads padded rows c+1..c+4 and the
+    # last grid step reads up to padded row 16*(h/16-1)+20 = h+4;
+    # cols padded (2, 1): conv col j reads padded cols j..j+3
+    xp = jnp.pad(x12.astype(jnp.bfloat16),
+                 ((0, 0), (3, 2), (2, 1), (0, 0)))
+    # patch-matrix weight layout must match the kernel's concat order
+    # (ky, kx, cin) on the lane axis
+    wmat = kernel.reshape(KH * KW * CIN, COUT).astype(jnp.bfloat16)
+    scale = scale.reshape(1, COUT).astype(jnp.float32)
+    bias = bias.reshape(1, COUT).astype(jnp.float32)
+
+    grid = (b, h // (2 * TILE_P))
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, COUT),
+                                       jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # manual DMA
+            pl.BlockSpec((KH * KW * CIN, COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_P, w // 2, COUT),
+                               lambda bb, pp: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((IN_ROWS, w + 3, CIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wmat, scale, bias)
+    return out
+
+
+def stem_conv_pool_reference(x12, kernel, scale, bias):
+    """XLA composition (conv + affine + relu + maxpool) — the jnp
+    fallback and the parity oracle for the kernel."""
+    h, w = x12.shape[1:3]
+    y = jax.lax.conv_general_dilated(
+        x12.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), (1, 1),
+        [(2, 1), (2, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)
+    y = y * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+    y = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=neg)
+    slices = [yp[:, i:i + 2 * (h // 2):2, j:j + 2 * (w // 2):2]
+              for i in range(3) for j in range(3)]
+    out = slices[0]
+    for s in slices[1:]:
+        out = jnp.maximum(out, s)
+    return out

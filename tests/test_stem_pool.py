@@ -1,0 +1,47 @@
+"""Fused stem kernel (ops/stem_pool.py) parity vs the XLA composition."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r3det_tpu.ops.stem_pool import (stem_conv_pool_pallas,
+                                     stem_conv_pool_reference)
+
+RNG = np.random.RandomState(5)
+
+
+def make_inputs(b=2, h=32, w=32):
+    x = jnp.asarray(RNG.uniform(-2, 2, (b, h, w, 12)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(0, 0.1, (4, 4, 12, 64)).astype(np.float32))
+    scale = jnp.asarray(RNG.uniform(0.5, 2, 64).astype(np.float32))
+    bias = jnp.asarray(RNG.uniform(-1, 1, 64).astype(np.float32))
+    return x, k, scale, bias
+
+
+@pytest.mark.slow
+def test_stem_kernel_matches_reference_interpret():
+    x, k, scale, bias = make_inputs()
+    want = np.asarray(stem_conv_pool_reference(x, k, scale, bias),
+                      np.float32)
+    got = np.asarray(stem_conv_pool_pallas(x, k, scale, bias,
+                                           interpret=True), np.float32)
+    assert got.shape == want.shape == (2, 16, 16, 64)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_stem_reference_matches_unfused_modules():
+    """The XLA composition itself must equal conv->bn->relu->pool as the
+    ResNet module used to compute it."""
+    from flax import linen as nn
+    x, k, scale, bias = make_inputs()
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1),
+        [(2, 1), (2, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = y.astype(jnp.float32) * scale + bias
+    y = nn.relu(y)
+    want = nn.max_pool(y, (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)])
+    got = np.asarray(stem_conv_pool_reference(x, k, scale, bias),
+                     np.float32)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-2, rtol=2e-2)
