@@ -128,39 +128,53 @@ class PolyRandomRotate:
         self.rng = rng or np.random
 
     def __call__(self, results):
+        # The reference runs the angle-0 path even when NOT rotating
+        # (pipelines/rtransforms.py:168-172 + :206-224): boxes still go
+        # obb -> poly -> (identity) transform -> re-fit -> border/size
+        # filter. Degenerate gt is filtered on every sample, and samples
+        # whose gt all die still return None.
         if self.rng.rand() >= self.rotate_ratio:
             results['rotate'] = False
-            return results
-        angle = 2 * self.angles_range * self.rng.rand() - self.angles_range
+            angle = 0.0
+        else:
+            angle = 2 * self.angles_range * self.rng.rand() - \
+                self.angles_range
+            results['rotate'] = True
+            labels = results['gt_labels']
+            if np.any((labels == 9) | (labels == 11)):
+                angle = self.discrete_range[self.rng.randint(4)]
         labels = results['gt_labels']
-        if np.any((labels == 9) | (labels == 11)):
-            angle = self.discrete_range[self.rng.randint(4)]
-        results['rotate'] = True
         results['rotate_angle'] = angle
 
         img = results['img']
         h, w = img.shape[:2]
         center = (w / 2, h / 2)
         if self.auto_bound:
-            ac, as_ = abs(np.cos(np.deg2rad(angle))), abs(
-                np.sin(np.deg2rad(angle)))
-            bound_w = int(round(h * as_ + w * ac))
-            bound_h = int(round(h * ac + w * as_))
+            # quirk preserved: the reference feeds the DEGREE angle to
+            # np.cos/np.sin when computing auto bounds
+            # (pipelines/rtransforms.py:191-196)
+            ac, as_ = abs(np.cos(angle)), abs(np.sin(angle))
+            bound_w = int(np.rint(h * as_ + w * ac))
+            bound_h = int(np.rint(h * ac + w * as_))
         else:
             bound_w, bound_h = w, h
         rm = cv2.getRotationMatrix2D(center, angle, 1)
         rm_img = cv2.getRotationMatrix2D((center[0] - 0.5, center[1] - 0.5),
                                          angle, 1)
-        results['img'] = cv2.warpAffine(img, rm_img, (bound_w, bound_h),
-                                        flags=cv2.INTER_LINEAR)
-        results['img_shape'] = results['img'].shape
+        if results['rotate']:
+            results['img'] = cv2.warpAffine(img, rm_img,
+                                            (bound_w, bound_h),
+                                            flags=cv2.INTER_LINEAR)
+            results['img_shape'] = results['img'].shape
 
         gt = results['gt_bboxes']
         if len(gt) == 0:
             return None
         scored = np.concatenate([gt, np.zeros((len(gt), 1))], -1)
         polys = obb2poly_np(scored, self.version)[:, :8].reshape(-1, 2)
-        polys = cv2.transform(polys[:, None, :], rm)[:, 0, :].reshape(-1, 8)
+        polys = cv2.transform(
+            polys.reshape(-1, 2)[:, None, :].astype(float),
+            rm)[:, 0, :].reshape(-1, 8)
         new_boxes = []
         for p in polys:
             obb = poly2obb_np(p.astype(np.float32), self.version)

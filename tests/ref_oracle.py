@@ -114,6 +114,51 @@ def ref_rtransforms():
     return _load_ref('r3det/core/bbox/rtransforms.py', 'ref_rtransforms')
 
 
+def ref_pipelines():
+    """Reference dataset pipeline classes (RResize / RRandomFlip /
+    PolyRandomRotate), with mmdet base classes stubbed and r3det.core
+    geometry forwarded to the reference's own rtransforms module."""
+    _ensure_stubs()
+    rt = ref_rtransforms()
+    import numpy as np
+    import torch
+
+    core = _module('r3det.core')
+
+    def norm_angle(angle, version):
+        return rt.norm_angle(torch.from_numpy(np.asarray(angle)),
+                             version).numpy()
+    core.norm_angle = norm_angle
+    core.obb2poly_np = rt.obb2poly_np
+    core.poly2obb_np = rt.poly2obb_np
+    sys.modules['r3det'].core = core
+
+    dsb = _module('mmdet.datasets')
+    builder = _module('mmdet.datasets.builder')
+
+    class _Registry:
+        def register_module(self, *a, **k):
+            if a and isinstance(a[0], type):
+                return a[0]
+
+            def deco(obj):
+                return obj
+            return deco
+    builder.PIPELINES = _Registry()
+    _module('mmdet.datasets.pipelines')
+    tr = _module('mmdet.datasets.pipelines.transforms')
+
+    class _Base:
+        def __init__(self, *a, **k):
+            pass
+    tr.Resize = _Base
+    tr.RandomFlip = _Base
+    dsb.builder = builder
+
+    return _load_ref('r3det/datasets/pipelines/rtransforms.py',
+                     'ref_pipelines_rtransforms')
+
+
 # ---------------------------------------------------------------------------
 # Reference CPU extensions (compiled on demand, cached in .ref_oracle_build)
 # ---------------------------------------------------------------------------

@@ -439,3 +439,86 @@ def test_polygon_iou_matches_reference_cpu_ext():
     want = ext.polygon_iou(p1, p2).numpy()
     got = np.asarray(polygon_iou(p1.numpy(), p2.numpy()))
     np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Data pipeline classes (datasets/pipelines/rtransforms.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('version', ['v1', 'v2', 'v3'])
+@pytest.mark.parametrize('direction', ['horizontal', 'vertical', 'diagonal'])
+def test_rrandomflip_bbox_flip_matches_reference(version, direction):
+    from ref_oracle import ref_pipelines
+    from r3det_tpu.datasets.transforms import RRandomFlip
+    mod = ref_pipelines()
+    ref = mod.RRandomFlip.__new__(mod.RRandomFlip)
+    ref.version = version
+    boxes = rand_obb(512, version, seed=41, lo=20.0, hi=500.0)
+    img_shape = (600, 800, 3)
+    want = ref.bbox_flip(boxes.copy(), img_shape, direction)
+    ours = RRandomFlip(version=version)
+    got = ours.bbox_flip(boxes.copy(), img_shape, direction)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rresize_bboxes_match_reference():
+    from ref_oracle import ref_pipelines
+    from r3det_tpu.datasets.transforms import RResize
+    mod = ref_pipelines()
+    ref = mod.RResize.__new__(mod.RResize)
+    boxes = rand_obb(256, 'v1', seed=42)
+    results = {'bbox_fields': ['gt_bboxes'], 'gt_bboxes': boxes.copy(),
+               'scale_factor': np.array([0.5, 0.75, 0.5, 0.75], np.float32)}
+    ref._resize_bboxes(results)
+    want = results['gt_bboxes']
+
+    # our RResize computes the scale from the image; apply the same
+    # factors through its box rule directly
+    got = boxes.copy()
+    got[:, 0] *= 0.5
+    got[:, 1] *= 0.75
+    got[:, 2:4] *= np.sqrt(0.5 * 0.75)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and the full __call__ path agrees on an actual resize
+    img = np.zeros((200, 200, 3), np.uint8)
+    r = RResize((100, 100))({'img': img, 'gt_bboxes': boxes.copy()})
+    ref_results = {'bbox_fields': ['gt_bboxes'], 'gt_bboxes': boxes.copy(),
+                   'scale_factor': r['scale_factor']}
+    ref._resize_bboxes(ref_results)
+    np.testing.assert_allclose(r['gt_bboxes'], ref_results['gt_bboxes'],
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize('version', ['v1', 'v3'])
+def test_polyrandomrotate_matches_reference(version):
+    """Full __call__ diff with the same np.random draws (no class-9/11
+    snap instances, so both consume exactly gate + angle)."""
+    from ref_oracle import ref_pipelines
+    from r3det_tpu.datasets.transforms import PolyRandomRotate
+    mod = ref_pipelines()
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 255, (300, 400, 3)).astype(np.uint8)
+    boxes = rand_obb(24, version, seed=44, lo=60.0, hi=240.0)
+    labels = rng.randint(0, 5, 24).astype(np.int64)
+
+    for seed in (0, 1, 2):
+        ref = mod.PolyRandomRotate(rotate_ratio=0.7, angles_range=180,
+                                   version=version)
+        np.random.seed(seed)
+        want = ref({'img': img.copy(), 'img_shape': img.shape,
+                    'gt_bboxes': boxes.copy(), 'gt_labels': labels.copy()})
+        ours = PolyRandomRotate(rotate_ratio=0.7, angles_range=180,
+                                version=version, rng=np.random)
+        np.random.seed(seed)
+        got = ours({'img': img.copy(), 'img_shape': img.shape,
+                    'gt_bboxes': boxes.copy(), 'gt_labels': labels.copy()})
+        assert (want is None) == (got is None), f'seed={seed}'
+        if want is None:
+            continue
+        assert got['rotate'] == want['rotate']
+        np.testing.assert_allclose(got['rotate_angle'],
+                                   want['rotate_angle'], atol=1e-9)
+        np.testing.assert_array_equal(got['img'], want['img'])
+        np.testing.assert_allclose(got['gt_bboxes'], want['gt_bboxes'],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(got['gt_labels'], want['gt_labels'])
