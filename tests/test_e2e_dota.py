@@ -125,6 +125,7 @@ def test_merge_and_submission(split_dir, tmp_path):
     assert 'Task1_plane.txt' in names and len(names) == 3
 
 
+@pytest.mark.slow
 def test_mesh_eval_matches_single_device(split_dir):
     """evaluate_dataset over an 8-device CPU mesh == single device.
 
