@@ -119,6 +119,11 @@ class ResNet(nn.Module):
     frozen_stages: int = 1        # 1 => stem + layer1 frozen (mmcv meaning)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     stem_space_to_depth: bool = True
+    # opt-in: ops/stem_pool.py fused Pallas stem. Interpret-mode parity
+    # is tested, but on this image's axon stack its Mosaic compile hangs
+    # the remote-compile service (the 16-way lane concat is the likely
+    # culprit) — keep it off until a TPU-validated build exists.
+    stem_fused_kernel: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -152,7 +157,7 @@ class ResNet(nn.Module):
             inv = bn1['scale'] * jax.lax.rsqrt(stats.value['var'] + 1e-5)
             off = bn1['bias'] - stats.value['mean'] * inv
             kern = conv1['kernel']
-            if self.frozen_stages >= 0:
+            if self.stem_fused_kernel and self.frozen_stages >= 0:
                 # stem is frozen in every shipped config: cut gradients
                 # BEFORE the platform dispatch so autodiff never tries to
                 # JVP the pallas branch (it has no derivative rule)
