@@ -1,0 +1,80 @@
+"""CLI tool smoke tests (config printing, log analysis, schedules).
+
+Reference counterparts: tools/misc/print_config.py,
+tools/analysis_tools/analyze_logs.py, configs/_base_/schedules/*.
+"""
+import json
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+
+
+def run_tool(args):
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO,
+                          env={**__import__('os').environ,
+                               'JAX_PLATFORMS': 'cpu'})
+
+
+def test_print_config_resolves_bases():
+    r = run_tool(['tools/misc/print_config.py',
+                  'configs/r3det/r3det_r50_fpn_1x_dota_v1.py'])
+    assert r.returncode == 0, r.stderr
+    assert 'R3Det' in r.stdout
+    assert 'optimizer' in r.stdout          # pulled in via _base_ schedule
+
+
+def test_print_config_cfg_options_override():
+    r = run_tool(['tools/misc/print_config.py',
+                  'configs/r3det/r3det_r50_fpn_1x_dota_v1.py',
+                  '--cfg-options', 'optimizer.lr=0.5'])
+    assert r.returncode == 0, r.stderr
+    assert '0.5' in r.stdout
+
+
+@pytest.mark.parametrize('sched', ['schedule_1x', 'schedule_3x',
+                                   'schedule_40e'])
+def test_schedule_bases_load(sched):
+    from r3det_tpu.utils.config import Config
+    cfg = Config.fromfile(
+        osp.join(REPO, f'configs/_base_/schedules/{sched}.py'))
+    assert cfg.optimizer['lr'] == 2.5e-3
+    assert cfg.lr_config['warmup_iters'] == 500
+    assert cfg.evaluation['metric'] == 'mAP'
+    steps = {'schedule_1x': [8, 11], 'schedule_3x': [24, 33],
+             'schedule_40e': [24, 32, 38]}[sched]
+    assert cfg.lr_config['step'] == steps
+
+
+def test_analyze_logs_time_stats(tmp_path):
+    log = tmp_path / 'train_log.jsonl'
+    recs = [dict(step=i, imgs_per_sec=30 + i, lr=1e-3,
+                 **{'s0.loss_cls': 1.0 / (i + 1)}) for i in range(1, 6)]
+    log.write_text('\n'.join(json.dumps(r) for r in recs) + '\n')
+    r = run_tool(['tools/analysis_tools/analyze_logs.py',
+                  'cal_train_time', str(log)])
+    assert r.returncode == 0, r.stderr
+    assert 'img' in r.stdout.lower() or 'time' in r.stdout.lower()
+
+
+def test_publish_checkpoint_strips_optimizer(tmp_path):
+    import numpy as np
+    from r3det_tpu.utils.checkpoint import (publish_checkpoint,
+                                            save_checkpoint)
+
+    class FakeState:
+        params = {'w': np.ones((2, 2), np.float32)}
+        batch_stats = {'m': np.zeros((2,), np.float32)}
+        opt_state = {'momentum': np.ones((2, 2), np.float32)}
+        step = 7
+    path = save_checkpoint(str(tmp_path / 'ckpt'), 7, FakeState())
+    out = publish_checkpoint(path, str(tmp_path / 'pub'))
+    assert osp.exists(out)
+    import orbax.checkpoint as ocp
+    payload = ocp.PyTreeCheckpointer().restore(osp.abspath(out))
+    assert 'params' in payload
+    assert 'opt_state' not in payload
