@@ -139,6 +139,101 @@ def stem_conv_pool_pallas(x12, kernel, scale, bias, interpret=False):
     return out
 
 
+def _stem_kernel_grouped(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
+                         sem, *, w):
+    """Round-3 candidate: same math as _stem_kernel but the im2col
+    concat builds 4 x 48-lane pieces (one per ky, columns pre-grouped)
+    and accumulates 4 K=48 matmuls — suspected to avoid the Mosaic
+    relayout pathology of the 16-way 12-lane concat (see PARITY.md).
+    Input layout: (B, rows, w, 48) where lane = (kx, cin) pre-grouped by
+    stem_conv_pool_pallas_grouped.
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    row0 = 16 * p
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, IN_ROWS)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    x = xbuf[:]                                     # (IN_ROWS, w, 48)
+
+    y = None
+    for ky in range(KH):
+        part = jax.lax.dot_general(
+            x[ky:ky + CONV_ROWS].reshape(CONV_ROWS * w, KW * CIN),
+            w_ref[ky], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
+    y = y.reshape(CONV_ROWS, w, COUT)
+    y = y * scale_ref[0] + bias_ref[0]
+    y = jnp.maximum(y, 0.0)
+
+    neg = jnp.float32(-jnp.inf)
+    first_global_row = 16 * p - 1
+    row_ids = first_global_row + jax.lax.broadcasted_iota(
+        jnp.int32, (CONV_ROWS, w, COUT), 0)
+    y = jnp.where(row_ids >= 0, y, neg)
+
+    wq = w // 2
+    colpad = jnp.full((CONV_ROWS, 1, COUT), neg, y.dtype)
+    yc = jnp.concatenate([colpad, y, colpad], axis=1)
+    cmax = jnp.maximum(jnp.maximum(yc[:, 0:w], yc[:, 1:w + 1]),
+                       yc[:, 2:w + 2])
+    rowpad = jnp.full((1, w, COUT), neg, y.dtype)
+    yr = jnp.concatenate([rowpad, cmax, rowpad], axis=0)
+    m2 = jnp.maximum(jnp.maximum(yr[0:CONV_ROWS], yr[1:CONV_ROWS + 1]),
+                     yr[2:CONV_ROWS + 2])
+    rows = m2[1:1 + 2 * TILE_P].reshape(TILE_P, 2, w, COUT)[:, 0]
+    out = rows.reshape(TILE_P, wq, 2, COUT)[:, :, 0, :]
+    out_ref[0, :, :, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def stem_conv_pool_pallas_grouped(x12, kernel, scale, bias,
+                                  interpret=False):
+    """Grouped-concat variant of stem_conv_pool_pallas (round-3
+    candidate, untested on real TPU — see PARITY.md known gaps)."""
+    b, h, w, cin = x12.shape
+    assert cin == CIN and h % (2 * TILE_P) == 0 and w % 2 == 0, x12.shape
+    xp = jnp.pad(x12.astype(jnp.bfloat16),
+                 ((0, 0), (3, 2), (2, 1), (0, 0)))
+    # host-side column pre-group: lane = (kx, cin), 48 wide
+    x48 = jnp.concatenate([xp[:, :, kx:kx + w, :] for kx in range(KW)],
+                          axis=-1)
+    # weights per ky: (48, 64) with the same (kx, cin) lane order
+    wk = kernel.astype(jnp.bfloat16).transpose(0, 1, 2, 3)  # (ky,kx,ci,co)
+    wmat = jnp.stack([wk[ky].reshape(KW * CIN, COUT)
+                      for ky in range(KH)])                 # (4, 48, 64)
+    scale = scale.reshape(1, COUT).astype(jnp.float32)
+    bias = bias.reshape(1, COUT).astype(jnp.float32)
+
+    grid = (b, h // (2 * TILE_P))
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel_grouped, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, COUT),
+                                       jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((KH, KW * CIN, COUT), lambda bb, pp: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_P, w // 2, COUT),
+                               lambda bb, pp: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((IN_ROWS, w, KW * CIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x48, wmat, scale, bias)
+    return out
+
+
 def stem_conv_pool_reference(x12, kernel, scale, bias):
     """XLA composition (conv + affine + relu + maxpool) — the jnp
     fallback and the parity oracle for the kernel."""

@@ -45,3 +45,15 @@ def test_stem_reference_matches_unfused_modules():
     got = np.asarray(stem_conv_pool_reference(x, k, scale, bias),
                      np.float32)
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_stem_kernel_grouped_matches_reference_interpret():
+    from r3det_tpu.ops.stem_pool import stem_conv_pool_pallas_grouped
+    x, k, scale, bias = make_inputs()
+    want = np.asarray(stem_conv_pool_reference(x, k, scale, bias),
+                      np.float32)
+    got = np.asarray(stem_conv_pool_pallas_grouped(x, k, scale, bias,
+                                                   interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
