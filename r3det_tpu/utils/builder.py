@@ -84,7 +84,11 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
             nms_iou_thr=nms.get('iou_thr', 0.1),
             max_per_img=test_cfg.get('max_per_img', 2000),
             nms_version=nms_version,
-            min_bbox_size=test_cfg.get('min_bbox_size', 0.0)),
+            min_bbox_size=test_cfg.get('min_bbox_size', 0.0),
+            # framework extensions (absent from reference configs):
+            # static NMS candidate budget + approx top-k serving mode
+            nms_candidates=test_cfg.get('nms_candidates'),
+            approx_topk=test_cfg.get('approx_topk', False)),
         target_means=tuple(coder.get('target_means', (0.,) * 5)),
         target_stds=tuple(coder.get('target_stds', (1.,) * 5)),
         focal_gamma=loss_cls.get('gamma', 2.0),
@@ -102,8 +106,13 @@ def build_from_config(cfg, dtype=None):
     import jax.numpy as jnp
     cfg_dict = cfg.to_dict() if hasattr(cfg, 'to_dict') else dict(cfg)
     model_d = cfg_dict['model']
-    det_cfg = detector_config_from_dict(
-        model_d, model_d.get('train_cfg') or cfg_dict.get('train_cfg'),
-        model_d.get('test_cfg') or cfg_dict.get('test_cfg'))
+    # mmdet accepts train/test cfg both inside `model` and at top level;
+    # merge with top level winning so `--cfg-options test_cfg.x=y` and
+    # child-config overrides take effect over the model-embedded base
+    train_cfg = {**(model_d.get('train_cfg') or {}),
+                 **(cfg_dict.get('train_cfg') or {})}
+    test_cfg = {**(model_d.get('test_cfg') or {}),
+                **(cfg_dict.get('test_cfg') or {})}
+    det_cfg = detector_config_from_dict(model_d, train_cfg, test_cfg)
     model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16)
     return model, det_cfg

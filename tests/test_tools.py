@@ -78,3 +78,15 @@ def test_publish_checkpoint_strips_optimizer(tmp_path):
     payload = ocp.PyTreeCheckpointer().restore(osp.abspath(out))
     assert 'params' in payload
     assert 'opt_state' not in payload
+
+
+def test_builder_maps_framework_test_cfg_extensions(tmp_path):
+    cfg_file = tmp_path / 'c.py'
+    cfg_file.write_text(
+        "_base_ = ['%s/configs/r3det/r3det_r50_fpn_1x_dota_v1.py']\n"
+        "test_cfg = dict(nms_candidates=4096, approx_topk=True)\n" % REPO)
+    from r3det_tpu.utils.builder import build_from_config
+    from r3det_tpu.utils.config import Config
+    model, det_cfg = build_from_config(Config.fromfile(str(cfg_file)))
+    assert det_cfg.test.nms_candidates == 4096
+    assert det_cfg.test.approx_topk is True
