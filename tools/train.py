@@ -31,7 +31,9 @@ def parse_args():
                    help='override total steps (default: epochs * len(loader))')
     p.add_argument('--synthetic', action='store_true',
                    help='train on synthetic data (no dataset needed)')
-    p.add_argument('--img-size', type=int, default=1024)
+    p.add_argument('--img-size', type=int, default=None,
+                   help='override the pipeline RResize scale (default: '
+                        'the config pipeline\'s img_scale, else 1024)')
     p.add_argument('--log-interval', type=int, default=50)
     p.add_argument('--pretrained-backbone', default=None,
                    help='path to a torchvision resnet .pth/.npz state dict')
@@ -78,7 +80,16 @@ def main():
     # ---- data -------------------------------------------------------
     batch_size = cfg.get('data', Config({})).get('samples_per_gpu', 2) * \
         jax.local_device_count()
-    size = args.img_size
+    # image size drives BOTH the pipeline resize and the anchor grid:
+    # default to the config pipeline's RResize img_scale; an explicit
+    # --img-size overrides the pipeline scale to stay consistent
+    cfg_scale = None
+    if cfg.get('data') and cfg.data.get('train') and \
+            cfg.data.train.get('pipeline'):
+        for s in cfg.data.train.pipeline:
+            if s.get('type') == 'RResize' and s.get('img_scale'):
+                cfg_scale = max(s['img_scale'])
+    size = args.img_size or cfg_scale or 1024
     if args.synthetic:
         from r3det_tpu.datasets.loader import SyntheticDetData
         loader = SyntheticDetData(batch_size=batch_size, size=size,
@@ -95,10 +106,13 @@ def main():
                          train_d.get('img_prefix'),
                          version=det_cfg.angle_version,
                          classes=train_d.get('classes'))
-        pipeline_cfg = train_d.get('pipeline') or [
+        pipeline_cfg = [dict(s) for s in train_d.get('pipeline') or [
             dict(type='RResize', img_scale=(size, size)),
             dict(type='RRandomFlip', flip_ratio=0.5),
-            dict(type='Normalize'), dict(type='Pad', size_divisor=32)]
+            dict(type='Normalize'), dict(type='Pad', size_divisor=32)]]
+        for s in pipeline_cfg:
+            if s.get('type') == 'RResize':
+                s['img_scale'] = (size, size)   # keep anchors consistent
         pipeline = TrainPipeline.from_config(
             pipeline_cfg, version=det_cfg.angle_version, seed=args.seed)
         loader = DetLoader(ds, pipeline, batch_size=batch_size,
