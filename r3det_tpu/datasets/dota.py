@@ -24,6 +24,24 @@ import numpy as np
 from ..core.rtransforms_np import obb2poly_np, poly2obb_np
 from ..ops.polygon_geo import polygon_iou, polygon_nms
 
+
+def _safe_default_nproc(cap):
+    """Fork-pool default that degrades to serial once JAX is live.
+
+    os.fork() in a process with initialized XLA runtime threads (and the
+    axon TPU tunnel) is documented deadlock-prone; merge_det/eval are on
+    the tools/test.py and train-loop eval-hook critical path *after* JAX
+    init. Standalone offline evaluation (no backend yet) keeps the pool.
+    Callers can always pass nproc explicitly to override.
+    """
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge._backends:          # a backend has been initialized
+            return 1
+    except Exception:
+        pass
+    return max(1, min(os.cpu_count() or 1, cap))
+
 DOTA10_CLASSES = ('plane', 'baseball-diamond', 'bridge', 'ground-track-field',
                   'small-vehicle', 'large-vehicle', 'ship', 'tennis-court',
                   'basketball-court', 'storage-tank', 'soccer-ball-field',
@@ -199,7 +217,7 @@ class DOTADataset:
         args = [(np.concatenate(collector[name], 0), num_classes,
                  self.version, nms_iou_thr) for name in ids]
         if nproc is None:
-            nproc = min(os.cpu_count() or 1, 8)
+            nproc = _safe_default_nproc(8)
         if nproc > 1 and len(args) > 1:
             import multiprocessing as mp
             with mp.get_context('fork').Pool(nproc) as pool:
@@ -333,11 +351,12 @@ def eval_rbbox_map(results, annotations, iou_thr=0.5, version='v1',
 
     nproc: per-class TP/FP matching fans out over a fork Pool (the
     reference parallelizes the same loop, dota1.py:376-388). Defaults to
-    min(cpu_count, num_classes); serial when that is 1.
+    min(cpu_count, num_classes), degraded to serial once a JAX backend
+    is live in this process (fork-after-XLA-init is deadlock-prone).
     """
     num_classes = len(class_names)
     if nproc is None:
-        nproc = min(os.cpu_count() or 1, num_classes)
+        nproc = _safe_default_nproc(num_classes)
     args = [(c, results, annotations, iou_thr, version, use_07_metric)
             for c in range(num_classes)]
     if nproc > 1:

@@ -15,8 +15,19 @@ import numpy as np
 
 
 class DetLoader:
+    """``batch_size`` is the PER-PROCESS batch. Multi-host training sets
+    ``process_index``/``process_count`` (tools/train.py passes
+    jax.process_index()/process_count()): every process draws the same
+    seeded epoch permutation and takes its own stride of it — the
+    reference's DistributedSampler semantics (SURVEY.md §2.8) — so the
+    union over hosts covers the epoch with no duplicates. The local
+    batches then assemble into one global jax.Array via
+    parallel.mesh.shard_batch (jax.make_array_from_process_local_data).
+    """
+
     def __init__(self, dataset, pipeline, batch_size=2, shuffle=True,
-                 seed=0, prefetch=2, drop_last=True, num_workers=4):
+                 seed=0, prefetch=2, drop_last=True, num_workers=4,
+                 process_index=0, process_count=1):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -26,9 +37,13 @@ class DetLoader:
         self.drop_last = drop_last
         # threads, not processes: cv2 decode/warp release the GIL
         self.num_workers = max(1, num_workers)
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count \
+            if self.process_count > 1 else len(self.dataset)
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -43,7 +58,11 @@ class DetLoader:
     def _epoch_indices(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # same permutation on every process (seeded identically) ->
+            # the per-process strides partition the epoch exactly
             self.rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         return idx
 
     def _collate(self, samples):

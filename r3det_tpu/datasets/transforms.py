@@ -208,19 +208,31 @@ class Normalize:
 
 
 class Pad:
-    """Pad image to a size divisor (bottom/right), mmdet Pad semantics."""
+    """Pad image to a size divisor (bottom/right), mmdet Pad semantics.
 
-    def __init__(self, size_divisor=32, pad_val=0.0):
+    ``fixed_size`` ((h, w)) pads to an exact canvas instead — the jit
+    train/eval steps need every sample at one static shape, so the
+    runner pins the canvas to the divisor-rounded pipeline img_scale
+    (keep-ratio resize guarantees images fit inside it).
+    """
+
+    def __init__(self, size_divisor=32, pad_val=0.0, fixed_size=None):
         self.size_divisor = size_divisor
         self.pad_val = pad_val
+        self.fixed_size = fixed_size
 
     def __call__(self, results):
         img = results['img']
         h, w = img.shape[:2]
-        ph = (h + self.size_divisor - 1) // self.size_divisor * \
-            self.size_divisor
-        pw = (w + self.size_divisor - 1) // self.size_divisor * \
-            self.size_divisor
+        if self.fixed_size is not None:
+            ph, pw = self.fixed_size
+            assert h <= ph and w <= pw, (
+                f'image {(h, w)} exceeds fixed pad canvas {(ph, pw)}')
+        else:
+            ph = (h + self.size_divisor - 1) // self.size_divisor * \
+                self.size_divisor
+            pw = (w + self.size_divisor - 1) // self.size_divisor * \
+                self.size_divisor
         if (ph, pw) != (h, w):
             out = np.full((ph, pw) + img.shape[2:], self.pad_val, img.dtype)
             out[:h, :w] = img
@@ -315,6 +327,15 @@ class TrainPipeline:
         self.stages = stages
         self.max_gt = max_gt
         return self
+
+    def pad_to(self, h, w):
+        """Pin the Pad stage to an exact (h, w) canvas (static jit
+        shapes); appends a Pad stage if the pipeline has none."""
+        for stage in self.stages:
+            if isinstance(stage, Pad):
+                stage.fixed_size = (h, w)
+                return
+        self.stages.append(Pad(32, fixed_size=(h, w)))
 
     def __call__(self, results):
         for stage in self.stages:

@@ -168,8 +168,8 @@ class ResNet(nn.Module):
                     tpu=stem_conv_pool_pallas,
                     default=stem_conv_pool_reference).astype(self.dtype)
             else:
-                x = stem_conv_pool_reference(x, kern, inv,
-                                             off).astype(self.dtype)
+                x = stem_conv_pool_reference(
+                    x, kern, inv, off, dtype=self.dtype).astype(self.dtype)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,

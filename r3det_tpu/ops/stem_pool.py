@@ -234,16 +234,106 @@ def stem_conv_pool_pallas_grouped(x12, kernel, scale, bias,
     return out
 
 
-def stem_conv_pool_reference(x12, kernel, scale, bias):
+def _s2d4_fold_indices():
+    """Index map folding the (4,4,12,64) stride-1-on-s2d2 stem kernel
+    into the (3,3,48,256) stride-1-on-s2d4 kernel.
+
+    Output channel layout: oo = (dy*2+dx)*64 + o, i.e. the conv emits the
+    2x2 block of 512-grid rows/cols (dy, dx) of every 256-grid cell as 4
+    channel groups. Derivation: conv row r=2c+dy reads unpadded 512-rows
+    u_abs = r-2+ky (pad top 2), which lands in cell c + (dy+ky-2)//2 at
+    sub-row (dy+ky-2)%2; same for columns.
+    """
+    import numpy as _np
+    tgt = _np.zeros((4, 4, 12, 2, 2, 3), _np.int64)  # cy,cx,cc index + oo
+    src_idx, t_cy, t_cx, t_cc, t_g = [], [], [], [], []
+    for dy in range(2):
+        for dx in range(2):
+            for ky in range(KH):
+                for kx in range(KW):
+                    u = dy + ky - 2
+                    v = dx + kx - 2
+                    cy, py = u // 2 + 1, u % 2
+                    cx, px = v // 2 + 1, v % 2
+                    for ci in range(CIN):
+                        src_idx.append((ky * KW + kx) * CIN + ci)
+                        t_cy.append(cy)
+                        t_cx.append(cx)
+                        t_cc.append((py * 2 + px) * CIN + ci)
+                        t_g.append(dy * 2 + dx)
+    del tgt
+    return (_np.asarray(src_idx), _np.asarray(t_cy), _np.asarray(t_cx),
+            _np.asarray(t_cc), _np.asarray(t_g))
+
+
+def fold_stem_kernel_s2d4(kernel):
+    """(4, 4, 12, 64) -> (3, 3, 48, 256) folded kernel (jnp, traceable)."""
+    src_idx, t_cy, t_cx, t_cc, t_g = _s2d4_fold_indices()
+    ksrc = kernel.reshape(KH * KW * CIN, COUT)[src_idx]      # (768, 64)
+    k3 = jnp.zeros((3, 3, 2 * KW * CIN, 4, COUT), kernel.dtype)
+    k3 = k3.at[t_cy, t_cx, t_cc, t_g].set(ksrc)
+    return k3.reshape(3, 3, 2 * KW * CIN, 4 * COUT)
+
+
+def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16):
+    """XLA-only fused-stem alternative: fold the 12-channel stem once
+    more (space-to-depth(2) again -> 48 channels) so the conv becomes a
+    lane-friendly K=432 -> 256 contraction, then max-pool on the 2x2
+    block-structured output. Numerics identical to
+    stem_conv_pool_reference (same f32 accumulation; parity-tested).
+
+    Rationale: XLA pads the 12-channel conv's data path ~10x on the
+    128-wide lane axis (measured 15 ms of a 117 ms batch-16 forward);
+    at 48-in/256-out the padding waste drops to ~2.7x on loads only,
+    with no Pallas involvement (this image's remote Mosaic compile is
+    unusable — see PARITY.md).
+    """
+    b, h, w, cin = x12.shape
+    assert cin == CIN and h % 4 == 0 and w % 4 == 0, x12.shape
+    # second space-to-depth fold: (B, H/2, W/2, 48)
+    x48 = x12.reshape(b, h // 2, 2, w // 2, 2, cin).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+    k3 = fold_stem_kernel_s2d4(kernel).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x48.astype(dtype), k3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)     # (B, H/2, W/2, 256)
+    scale4 = jnp.tile(scale.reshape(1, -1), (4, 1)).reshape(-1)
+    bias4 = jnp.tile(bias.reshape(1, -1), (4, 1)).reshape(-1)
+    y = y * scale4 + bias4
+    y = jnp.maximum(y, 0.0).astype(dtype)
+    hc, wc = h // 2, w // 2
+    u = y.reshape(b, hc, wc, 2, 2, COUT)
+    neg = jnp.asarray(-jnp.inf, u.dtype)
+    up = jnp.pad(u, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0), (0, 0)),
+                 constant_values=neg)
+    # pool out(i, j) = max over 512-grid rows {2i-1, 2i, 2i+1} and cols
+    # {2j-1, 2j, 2j+1}: (cell-1, sub 1), (cell, sub 0), (cell, sub 1)
+    colmax = jnp.maximum(
+        jnp.maximum(up[:, :, 0:wc, :, 1], up[:, :, 1:wc + 1, :, 0]),
+        up[:, :, 1:wc + 1, :, 1])               # (B, hc+1, wc, 2, C)
+    out = jnp.maximum(
+        jnp.maximum(colmax[:, 0:hc, :, 1], colmax[:, 1:hc + 1, :, 0]),
+        colmax[:, 1:hc + 1, :, 1])              # (B, hc, wc, C)
+    return out
+
+
+def stem_conv_pool_reference(x12, kernel, scale, bias,
+                             dtype=jnp.bfloat16):
     """XLA composition (conv + affine + relu + maxpool) — the jnp
-    fallback and the parity oracle for the kernel."""
+    fallback and the parity oracle for the kernel.
+
+    ``dtype`` is the compute dtype: models built with float32 (tests,
+    parity/debug runs, dryrun_multichip) keep f32 numerics end-to-end
+    instead of silently dropping to bf16 in the first layer.
+    """
     h, w = x12.shape[1:3]
     y = jax.lax.conv_general_dilated(
-        x12.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), (1, 1),
+        x12.astype(dtype), kernel.astype(dtype), (1, 1),
         [(2, 1), (2, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.float32)
     y = y * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
-    y = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    y = jnp.maximum(y, 0.0).astype(dtype)
     neg = jnp.asarray(-jnp.inf, y.dtype)
     yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
                  constant_values=neg)

@@ -45,15 +45,49 @@ def make_mesh(devices: Optional[Sequence] = None,
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Multi-process meshes assemble the (identical, e.g. same-seed-init or
+    restored-checkpoint) host value into a global replicated jax.Array;
+    hosts must hold the same value, as with DDP broadcast_buffers.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1 or all(
+            d.process_index == jax.process_index()
+            for d in mesh.devices.flat):
+        return jax.device_put(tree, sharding)
+
+    def _repl(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, x.shape)
+
+    return jax.tree_util.tree_map(_repl, tree)
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = 'data'):
-    """Shard every leaf on its leading (batch) axis."""
+    """Shard every leaf on its leading (batch) axis.
+
+    Single-process: a plain device_put of the host batch. Multi-process
+    (the mesh spans non-addressable devices): each host holds only its
+    OWN slice of the global batch (DetLoader's process stride), and the
+    leaves assemble into one global jax.Array via
+    jax.make_array_from_process_local_data — the input-side counterpart
+    of the reference's DistributedSampler + DDP pairing (SURVEY §2.8).
+    """
     sharding = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(batch, sharding)
+    nproc = jax.process_count()
+    if nproc == 1 or all(d.process_index == jax.process_index()
+                         for d in mesh.devices.flat):
+        return jax.device_put(batch, sharding)
+
+    def _assemble(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(_assemble, batch)
 
 
 def make_lr_schedule(base_lr: float = 2.5e-3, warmup_iters: int = 500,

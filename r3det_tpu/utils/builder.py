@@ -107,12 +107,15 @@ def build_from_config(cfg, dtype=None):
     cfg_dict = cfg.to_dict() if hasattr(cfg, 'to_dict') else dict(cfg)
     model_d = cfg_dict['model']
     # mmdet accepts train/test cfg both inside `model` and at top level;
-    # merge with top level winning so `--cfg-options test_cfg.x=y` and
-    # child-config overrides take effect over the model-embedded base
-    train_cfg = {**(model_d.get('train_cfg') or {}),
-                 **(cfg_dict.get('train_cfg') or {})}
-    test_cfg = {**(model_d.get('test_cfg') or {}),
-                **(cfg_dict.get('test_cfg') or {})}
+    # deep-merge with top level winning so `--cfg-options test_cfg.x=y`
+    # and child-config overrides take effect over the model-embedded base
+    # WITHOUT wiping sibling keys of nested dicts (e.g. overriding
+    # test_cfg.nms.iou_thr must keep the model's nms 'type')
+    from .config import Config
+    train_cfg = Config._merge(dict(model_d.get('train_cfg') or {}),
+                              dict(cfg_dict.get('train_cfg') or {}))
+    test_cfg = Config._merge(dict(model_d.get('test_cfg') or {}),
+                             dict(cfg_dict.get('test_cfg') or {}))
     det_cfg = detector_config_from_dict(model_d, train_cfg, test_cfg)
     model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16)
     return model, det_cfg

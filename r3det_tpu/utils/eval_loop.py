@@ -29,13 +29,24 @@ def evaluate_dataset(variables, model, det_cfg, ds, img_size=1024,
     axis across its devices (batch_size must divide evenly). Multi-host:
     each process runs the images of its own slice and results are
     all-gathered, so every process returns the full list.
+
+    img_size: int (square) or (h, w); the anchor grid and the fixed pad
+    canvas derive from its divisor-rounded form.
     """
+    hw = (img_size, img_size) if isinstance(img_size, int) \
+        else tuple(img_size)
+    canvas = tuple(-(-d // 32) * 32 for d in hw)
     if pipeline is None:
-        pipeline = [RResize((img_size, img_size)), Normalize(), Pad(32)]
-    featmap_sizes = tuple((img_size // s, img_size // s)
+        pipeline = [RResize((hw[1], hw[0])), Normalize(),
+                    Pad(32, fixed_size=canvas)]
+    else:
+        for stage in pipeline:
+            if isinstance(stage, Pad):
+                stage.fixed_size = canvas
+    featmap_sizes = tuple((canvas[0] // s, canvas[1] // s)
                           for s in det_cfg.strides)
     predict = make_predict_step(model, det_cfg, featmap_sizes, mesh=mesh,
-                                img_shape=(img_size, img_size))
+                                img_shape=canvas)
     if mesh is not None:
         n_dev = len(mesh.devices.reshape(-1))
         assert batch_size % n_dev == 0, (

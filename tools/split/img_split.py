@@ -178,9 +178,8 @@ def split_one(img_path, ann_path, args, img_dir_out, ann_dir_out):
         else:
             sel = np.zeros((0,), bool)
             trunc = sel
-        if not sel.any() and ann_path is not None and len(rpolys):
-            # keep patches without objects only in test mode
-            pass
+        # patches with no selected objects are still saved, with an empty
+        # annotation file — reference behavior (img_split.py:289-292)
         lines = []
         for j in np.where(sel)[0]:
             shifted = rpolys[j].copy()

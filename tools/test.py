@@ -25,7 +25,9 @@ def parse_args():
     p.add_argument('--eval', default=None, choices=[None, 'mAP'])
     p.add_argument('--format-only', action='store_true')
     p.add_argument('--format-dir', default='submission')
-    p.add_argument('--img-size', type=int, default=1024)
+    p.add_argument('--img-size', type=int, default=None,
+                   help='override the test pipeline img_scale (default: '
+                        'the config test pipeline\'s scale, else 1024)')
     p.add_argument('--batch-size', type=int, default=4)
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
@@ -46,15 +48,32 @@ def main():
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
     model, det_cfg = build_from_config(cfg)
 
-    test_d = cfg.data.test if not args.eval else cfg.data.val
+    # evaluate whatever split the config's test dict points at, like the
+    # reference (/root/reference/tools/test.py:108-236) — point data.test
+    # at an annotated split to --eval it
+    test_d = cfg.data.test
     ds = DOTADataset(test_d.ann_file, test_d.get('img_prefix'),
                      version=det_cfg.angle_version, filter_empty=False,
                      test_mode=not args.eval,
                      classes=test_d.get('classes'))
     print(f'{len(ds)} images')
 
-    size = args.img_size
-    sample = jnp.zeros((1, size, size, 3), jnp.float32)
+    cfg_scale = None                          # (w, h)
+    for s in (test_d.get('pipeline') or []):
+        if s.get('type') in ('RResize', 'MultiScaleFlipAug') and \
+                s.get('img_scale'):
+            sc = s['img_scale']
+            sc = sc[0] if isinstance(sc, (list, tuple)) and \
+                isinstance(sc[0], (list, tuple)) else sc
+            cfg_scale = (sc, sc) if isinstance(sc, int) else tuple(sc)
+    if args.img_size:
+        hw = (args.img_size, args.img_size)
+    elif cfg_scale:
+        hw = (cfg_scale[1], cfg_scale[0])
+    else:
+        hw = (1024, 1024)
+    canvas = tuple(-(-d // 32) * 32 for d in hw)
+    sample = jnp.zeros((1,) + canvas + (3,), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     if args.checkpoint:
         import orbax.checkpoint as ocp
@@ -78,7 +97,7 @@ def main():
                   f'({done / (time.time() - t0):.1f} img/s)')
 
     results = evaluate_dataset(variables, model, det_cfg, ds,
-                               img_size=size, batch_size=bs, mesh=mesh,
+                               img_size=hw, batch_size=bs, mesh=mesh,
                                progress=progress)
 
     if args.out:

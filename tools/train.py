@@ -80,22 +80,32 @@ def main():
     # ---- data -------------------------------------------------------
     batch_size = cfg.get('data', Config({})).get('samples_per_gpu', 2) * \
         jax.local_device_count()
-    # image size drives BOTH the pipeline resize and the anchor grid:
-    # default to the config pipeline's RResize img_scale; an explicit
-    # --img-size overrides the pipeline scale to stay consistent
-    cfg_scale = None
+    # image size drives BOTH the pipeline resize and the anchor grid.
+    # Default: honor the config pipeline's RResize img_scale verbatim
+    # ((w, h), mmcv convention — possibly non-square) and pad every
+    # sample to its divisor-rounded canvas so jit shapes stay static.
+    # An explicit --img-size rewrites the pipeline scale to a square.
+    cfg_scale = None                          # (w, h)
     if cfg.get('data') and cfg.data.get('train') and \
             cfg.data.train.get('pipeline'):
         for s in cfg.data.train.pipeline:
             if s.get('type') == 'RResize' and s.get('img_scale'):
-                cfg_scale = max(s['img_scale'])
-    size = args.img_size or cfg_scale or 1024
+                sc = s['img_scale']
+                cfg_scale = (sc, sc) if isinstance(sc, int) else tuple(sc)
+    if args.img_size:
+        size_hw = (args.img_size, args.img_size)
+    elif cfg_scale:
+        size_hw = (cfg_scale[1], cfg_scale[0])
+    else:
+        size_hw = (1024, 1024)
+    canvas = tuple(-(-d // 32) * 32 for d in size_hw)     # (h, w)
     if args.synthetic:
         from r3det_tpu.datasets.loader import SyntheticDetData
-        loader = SyntheticDetData(batch_size=batch_size, size=size,
+        loader = SyntheticDetData(batch_size=batch_size, size=max(canvas),
                                   num_classes=det_cfg.num_classes,
                                   version=det_cfg.angle_version,
                                   seed=args.seed)
+        canvas = (max(canvas), max(canvas))   # synthetic data is square
         iters_per_epoch = 100
     else:
         from r3det_tpu.datasets.dota import DOTADataset
@@ -107,16 +117,20 @@ def main():
                          version=det_cfg.angle_version,
                          classes=train_d.get('classes'))
         pipeline_cfg = [dict(s) for s in train_d.get('pipeline') or [
-            dict(type='RResize', img_scale=(size, size)),
+            dict(type='RResize', img_scale=(size_hw[1], size_hw[0])),
             dict(type='RRandomFlip', flip_ratio=0.5),
             dict(type='Normalize'), dict(type='Pad', size_divisor=32)]]
-        for s in pipeline_cfg:
-            if s.get('type') == 'RResize':
-                s['img_scale'] = (size, size)   # keep anchors consistent
+        if args.img_size:
+            for s in pipeline_cfg:
+                if s.get('type') == 'RResize':
+                    s['img_scale'] = (args.img_size, args.img_size)
         pipeline = TrainPipeline.from_config(
             pipeline_cfg, version=det_cfg.angle_version, seed=args.seed)
+        pipeline.pad_to(*canvas)              # static jit shapes
         loader = DetLoader(ds, pipeline, batch_size=batch_size,
-                           seed=args.seed)
+                           seed=args.seed,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
         iters_per_epoch = len(loader)
 
     max_epochs = cfg.get('runner', Config({})).get('max_epochs', 12)
@@ -137,7 +151,7 @@ def main():
 
     # ---- state ------------------------------------------------------
     mesh = make_mesh()
-    sample = jnp.zeros((1, size, size, 3), jnp.float32)
+    sample = jnp.zeros((1,) + canvas + (3,), jnp.float32)
     state = init_train_state(model, jax.random.PRNGKey(args.seed), sample,
                              tx=tx)
     if args.pretrained_backbone:
@@ -154,7 +168,8 @@ def main():
         print(f'resumed from {args.resume_from} @ step {int(state.step)}')
     state = replicate(state, mesh)
 
-    featmap_sizes = tuple((size // s, size // s) for s in det_cfg.strides)
+    featmap_sizes = tuple((canvas[0] // s, canvas[1] // s)
+                          for s in det_cfg.strides)
     step_fn = make_train_step(model, det_cfg, featmap_sizes, mesh)
 
     # ---- eval hook (reference EvalHook: evaluation.interval epochs) --
@@ -177,7 +192,7 @@ def main():
         variables = {'params': jax.device_get(state.params),
                      'batch_stats': jax.device_get(state.batch_stats)}
         results = evaluate_dataset(variables, model, det_cfg, val_ds,
-                                   img_size=size, batch_size=batch_size,
+                                   img_size=canvas, batch_size=batch_size,
                                    mesh=mesh)
         return val_ds.evaluate(results)
 
