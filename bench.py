@@ -13,6 +13,7 @@ Fails soft: on any error it retries with a smaller batch before giving
 up, and always emits the JSON line (value 0.0 on total failure).
 """
 import json
+import os
 import sys
 import time
 import traceback
@@ -24,7 +25,7 @@ sys.path.insert(0, '.')
 BASELINE_PATCHES_PER_SEC = 300.0
 
 
-def run(batch, size=1024, iters=6):
+def run(batch, size=1024, iters=12):
     import jax
     import jax.numpy as jnp
 
@@ -42,9 +43,8 @@ def run(batch, size=1024, iters=6):
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —
-    # only a host fetch does. Timing fetches a scalar every iter, which
-    # pays the tunnel's ~32 ms RPC floor per call: the number below
-    # UNDER-reports device throughput by roughly that margin.
+    # only a host fetch does (see `chained` below for how the timing
+    # loop stays cache-proof with one final fetch).
     images = [jnp.asarray(rng.uniform(-2, 2, (batch, size, size, 3))
                           .astype(np.float32)) for _ in range(2)]
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0][:1])
@@ -56,14 +56,36 @@ def run(batch, size=1024, iters=6):
         dets, labels, num = predict(variables, x)
         return float(np.asarray(dets[0, 0, 0]))      # forces completion
 
-    step(images[0])                                  # compile
-    for i in range(2):
-        step(images[i % 2])                          # warmup
+    # one-element perturbation chains iteration i+1's input to iteration
+    # i's output: every call is value-distinct (the axon execution cache
+    # keys on values) and data-dependent (device executes them serially),
+    # so the whole pipeline can be dispatched async and synced ONCE —
+    # production-serving style — instead of paying the tunnel's ~32 ms
+    # RPC floor per iteration.
+    poke = jax.jit(lambda x, s: x.at[0, 0, 0, 0].add(1e-6 * s))
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        step(images[i % 2])
-    dt = time.perf_counter() - t0
+    step(images[0])                                  # compile predict
+    x = poke(images[0], jnp.float32(1))              # compile poke
+    step(x)                                          # warmup
+
+    def chained(x, n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            dets, labels, num = predict(variables, x)
+            x = poke(x, dets[0, 0, 0].astype(jnp.float32))
+        np.asarray(dets[0, 0, 0])                    # one sync
+        return time.perf_counter() - t0
+
+    chained(images[1], 2)                            # pipeline warmup
+    dt = chained(images[0], iters)
+    dt_percall = None
+    if os.environ.get('BENCH_PERCALL'):              # diagnostics
+        t0 = time.perf_counter()
+        for i in range(iters):
+            step(images[i % 2])
+        dt_percall = time.perf_counter() - t0
+        print(f'percall: {batch * iters / dt_percall:.2f}/s  '
+              f'chained: {batch * iters / dt:.2f}/s', file=sys.stderr)
     return batch * iters / dt
 
 

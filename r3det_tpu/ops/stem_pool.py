@@ -270,9 +270,9 @@ def fold_stem_kernel_s2d4(kernel):
     """(4, 4, 12, 64) -> (3, 3, 48, 256) folded kernel (jnp, traceable)."""
     src_idx, t_cy, t_cx, t_cc, t_g = _s2d4_fold_indices()
     ksrc = kernel.reshape(KH * KW * CIN, COUT)[src_idx]      # (768, 64)
-    k3 = jnp.zeros((3, 3, 2 * KW * CIN, 4, COUT), kernel.dtype)
+    k3 = jnp.zeros((3, 3, 4 * CIN, 4, COUT), kernel.dtype)
     k3 = k3.at[t_cy, t_cx, t_cc, t_g].set(ksrc)
-    return k3.reshape(3, 3, 2 * KW * CIN, 4 * COUT)
+    return k3.reshape(3, 3, 4 * CIN, 4 * COUT)
 
 
 def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16):

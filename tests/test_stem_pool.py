@@ -47,6 +47,23 @@ def test_stem_reference_matches_unfused_modules():
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-2, rtol=2e-2)
 
 
+def test_stem_s2d4_matches_reference():
+    """The double-folded (48-channel) stem — the default runtime path on
+    all platforms — must equal the single-fold composition in f32 and
+    bf16 (it is the same math, reassociated)."""
+    from r3det_tpu.ops.stem_pool import stem_conv_pool_s2d4
+    x, k, scale, bias = make_inputs()
+    for dtype, atol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
+        want = np.asarray(
+            stem_conv_pool_reference(x, k, scale, bias, dtype=dtype),
+            np.float32)
+        got = np.asarray(
+            stem_conv_pool_s2d4(x, k, scale, bias, dtype=dtype),
+            np.float32)
+        assert got.shape == want.shape == (2, 16, 16, 64)
+        np.testing.assert_allclose(got, want, atol=atol, rtol=2e-2)
+
+
 @pytest.mark.slow
 def test_stem_kernel_grouped_matches_reference_interpret():
     from r3det_tpu.ops.stem_pool import stem_conv_pool_pallas_grouped
