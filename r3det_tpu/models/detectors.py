@@ -54,10 +54,16 @@ class TestCfg(NamedTuple):
     approx_topk: bool = False   # lax.approx_max_k for nms_pre selection
     # static candidate budget for multiclass NMS, across (position,
     # class) pairs. The reference suppresses EVERY pair above score_thr
-    # (bbox_nms_rotated.py:98-131) — raise this for dense scenes; the
-    # IoU kernel skips tiles past the live-candidate prefix, so a large
-    # budget costs little when few candidates pass score_thr.
-    # None -> nms_pre.
+    # (bbox_nms_rotated.py:98-131); a budget below the live-pair count
+    # silently drops candidates on dense scenes (DOTA small-vehicle
+    # patches exceed 1000 gt). None -> 2 * nms_pre (4000 at the shipped
+    # nms_pre=2000), which covers dense scenes within the dense-matrix
+    # sweep's HBM budget; the IoU kernel skips tiles past the
+    # live-candidate prefix, so the larger budget costs little when few
+    # candidates pass score_thr
+    # (tests/test_nms.py::test_dense_scene_candidate_budget). Budgets
+    # above ops.nms.STREAM_THRESHOLD switch to the O(K*block)-memory
+    # streamed sweep (_greedy_keep_streamed) for extreme scenes.
     nms_candidates: int = None
 
 
@@ -423,7 +429,7 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
     nms_one = partial(multiclass_nms_rotated,
                       score_thr=t.score_thr, iou_thr=t.nms_iou_thr,
                       version=t.nms_version, max_num=t.max_per_img,
-                      pre_topk=min(t.nms_candidates or t.nms_pre,
+                      pre_topk=min(t.nms_candidates or 2 * t.nms_pre,
                                    boxes.shape[1] * cfg.num_classes),
                       approx_topk=t.approx_topk)
     dets, labels, num = jax.vmap(lambda bx, sc: nms_one(bx, sc))(

@@ -119,6 +119,77 @@ def _greedy_keep_blocked(iou, valid, iou_thr, block=BLOCK_S):
 
 
 
+STREAM_THRESHOLD = 4096      # candidates above this use the streamed sweep
+STREAM_BLOCK = 512
+
+
+def _greedy_keep_streamed(boxes_s, valid_s, labels_s, iou_thr, vcount,
+                          label_aware, block=STREAM_BLOCK):
+    """Greedy suppression without materializing the (K, K) IoU matrix.
+
+    The dense path's (K, K) matrix is 256 MB at K=8000 — times a vmapped
+    batch that OOMs HBM. Here each scan step computes one (K, block) IoU
+    column slab on the fly (the valid-prefix kernel skips rows past
+    min(vcount, start + block) — exactly the j < i rows greedy needs),
+    applies the already-final suppression from earlier blocks, and
+    resolves intra-block chains with the same tiny fixpoint as
+    _greedy_keep_blocked. Peak memory O(K * block); identical keep sets.
+    """
+    from .pallas_iou import rotated_iou_pallas
+    from .rotated_iou import rotated_iou_pairwise
+    k = boxes_s.shape[0]
+    pad = (-k) % block
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+        if labels_s is not None:
+            labels_s = jnp.pad(labels_s, (0, pad), constant_values=-2)
+    kp = k + pad
+    row_idx = jnp.arange(kp)
+    ridx = jnp.arange(block)
+
+    def step(keep, b):
+        start = b * block
+        blk_boxes = jax.lax.dynamic_slice(boxes_s, (start, 0), (block, 5))
+        v_pass = jnp.minimum(vcount, start + block)
+        cols = jax.lax.platform_dependent(
+            boxes_s, blk_boxes, v_pass,
+            tpu=lambda ba, bb, v: rotated_iou_pallas(ba, bb,
+                                                     valid_count=v),
+            default=lambda ba, bb, v: rotated_iou_pairwise(
+                ba, bb, backend='jnp'))
+        if label_aware and labels_s is not None:
+            blk_labels = jax.lax.dynamic_slice(labels_s, (start,),
+                                               (block,))
+            cols = jnp.where(labels_s[:, None] == blk_labels[None, :],
+                             cols, 0.0)
+        supp = (cols > iou_thr) & \
+            (row_idx[:, None] < (start + ridx)[None, :])
+        vblk = jax.lax.dynamic_slice(valid_s, (start,), (block,))
+        ext = jnp.any(supp & keep[:, None], axis=0)
+        init_b = vblk & ~ext
+        sub = jax.lax.dynamic_slice(supp, (start, 0), (block, block))
+
+        def cond(state):
+            kb, prev, it = state
+            return (it < block) & jnp.any(kb != prev)
+
+        def body(state):
+            kb, _, it = state
+            suppressed = jnp.any(sub & kb[:, None], axis=0)
+            return init_b & ~suppressed, kb, it + 1
+
+        kb, _, _ = jax.lax.while_loop(
+            cond, body, (init_b, jnp.zeros_like(init_b),
+                         jnp.zeros((), jnp.int32)))
+        keep = jax.lax.dynamic_update_slice(keep, kb, (start,))
+        return keep, None
+
+    keep0 = jnp.zeros((kp,), bool)
+    keep, _ = jax.lax.scan(step, keep0, jnp.arange(kp // block))
+    return keep[:k]
+
+
 @partial(jax.jit, static_argnames=('max_out', 'negate_angle'))
 def rnms(dets, iou_thr, max_out=2000, negate_angle=False):
     """Single-class rotated NMS on (N, 6) scored dets.
@@ -176,20 +247,28 @@ def _nms_core(boxes, scores, iou_thr, max_out, valid=None, labels=None,
     vcount = jnp.where(
         jnp.any(valid_s),
         k - jnp.argmax(valid_s[::-1]).astype(jnp.int32), 0)
-    from .pallas_iou import rotated_iou_pallas
-    # greedy suppression reads only j < i pairs: the TPU kernel skips the
-    # lower triangle at tile granularity (~2x less IoU work) plus every
-    # tile past the valid prefix. Resolved per lowering platform so
-    # CPU-mesh jits take the jnp path.
-    iou = jax.lax.platform_dependent(
-        boxes_s, vcount,
-        tpu=lambda b, v: rotated_iou_pallas(b, b, upper_only=True,
-                                            valid_count=v),
-        default=lambda b, v: rotated_iou_pairwise(b, b, backend='jnp'))
-    if label_aware and labels_s is not None:
-        same = labels_s[:, None] == labels_s[None, :]
-        iou = jnp.where(same, iou, 0.0)
-    keep = _greedy_keep_blocked(iou, valid_s, iou_thr)
+    if k > STREAM_THRESHOLD:
+        # large candidate budgets (dense-scene nms_candidates) stream
+        # (K, block) IoU slabs instead of materializing (K, K) — the
+        # dense matrix at K=8000 under a vmapped batch exceeds HBM
+        keep = _greedy_keep_streamed(boxes_s, valid_s, labels_s, iou_thr,
+                                     vcount, label_aware)
+    else:
+        from .pallas_iou import rotated_iou_pallas
+        # greedy suppression reads only j < i pairs: the TPU kernel
+        # skips the lower triangle at tile granularity (~2x less IoU
+        # work) plus every tile past the valid prefix. Resolved per
+        # lowering platform so CPU-mesh jits take the jnp path.
+        iou = jax.lax.platform_dependent(
+            boxes_s, vcount,
+            tpu=lambda b, v: rotated_iou_pallas(b, b, upper_only=True,
+                                                valid_count=v),
+            default=lambda b, v: rotated_iou_pairwise(b, b,
+                                                      backend='jnp'))
+        if label_aware and labels_s is not None:
+            same = labels_s[:, None] == labels_s[None, :]
+            iou = jnp.where(same, iou, 0.0)
+        keep = _greedy_keep_blocked(iou, valid_s, iou_thr)
     # Indices (into the original array) of kept boxes, in score order,
     # padded with -1.
     rank = jnp.where(keep, jnp.arange(k), k + 1)

@@ -207,3 +207,64 @@ def test_blocked_sweep_equals_fixpoint():
                                             jnp.asarray(valid), thr,
                                             block=64))
         np.testing.assert_array_equal(a, b, err_msg=f'trial {trial}')
+
+
+def test_dense_scene_candidate_budget():
+    """The shipped default budget (4 * nms_pre) must reproduce the
+    reference's all-pairs semantics on a dense scene where the live
+    candidate count exceeds nms_pre — and the old nms_pre-sized budget
+    must demonstrably truncate there (the round-2 parity risk this
+    default closes). detector_predict wires nms_candidates=None to
+    2 * nms_pre (models/detectors.py::detector_predict)."""
+    n, c = 150, 5                       # 750 live pairs, all above thr
+    nms_pre = 400                       # stand-in for the shipped 2000
+    boxes = rand_boxes(n, scale=600.0)
+    scores = RNG.uniform(0.2, 1.0, (n, c + 1)).astype(np.float32)
+
+    def run(budget):
+        dets, labels, num = multiclass_nms_rotated(
+            jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+            iou_thr=0.3, version='v1', max_num=n * c, pre_topk=budget)
+        num = int(num)
+        return np.asarray(dets)[:num], np.asarray(labels)[:num], num
+
+    full_d, full_l, full_n = run(n * c)           # exact reference
+    ship_d, ship_l, ship_n = run(2 * nms_pre)     # shipped default
+    old_d, old_l, old_n = run(nms_pre)            # round-2 default
+
+    assert ship_n == full_n
+    np.testing.assert_allclose(ship_d, full_d, atol=1e-6)
+    np.testing.assert_array_equal(ship_l, full_l)
+    assert old_n < full_n, (
+        f'expected the nms_pre-sized budget to truncate on a dense '
+        f'scene (kept {old_n} vs {full_n})')
+
+
+def test_streamed_sweep_equals_dense():
+    """_greedy_keep_streamed (the >2048-candidate memory-safe path) must
+    produce the dense path's exact keep set, including label gating,
+    holes in the valid prefix, and the valid-count row cutoff."""
+    from r3det_tpu.ops.nms import (_greedy_keep_blocked,
+                                   _greedy_keep_streamed)
+    from r3det_tpu.ops.rotated_iou import rotated_iou_pairwise
+    r = np.random.RandomState(44)
+    k = 2600                              # above STREAM_THRESHOLD
+    boxes = np.stack([
+        r.uniform(0, 800, k), r.uniform(0, 800, k),
+        r.uniform(10, 80, k), r.uniform(8, 60, k),
+        r.uniform(-np.pi / 2, 0, k)], -1).astype(np.float32)
+    scores = np.sort(r.uniform(0, 1, k).astype(np.float32))[::-1]
+    labels = r.randint(0, 4, k).astype(np.int32)
+    valid = np.ones(k, bool)
+    valid[2000:] = False                  # dead tail (below score_thr)
+    valid[150] = False                    # hole (v3 tiny-box skip)
+    vcount = 2001
+    bj = jnp.asarray(boxes)
+    vj = jnp.asarray(valid)
+    lj = jnp.asarray(labels)
+    iou = rotated_iou_pairwise(bj, bj, backend='jnp')
+    iou = jnp.where(lj[:, None] == lj[None, :], iou, 0.0)
+    want = np.asarray(_greedy_keep_blocked(iou, vj, 0.2))
+    got = np.asarray(_greedy_keep_streamed(
+        bj, vj, lj, 0.2, jnp.int32(vcount), label_aware=True))
+    np.testing.assert_array_equal(got, want)
