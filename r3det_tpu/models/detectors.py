@@ -91,6 +91,9 @@ class DetectorConfig(NamedTuple):
     frozen_stages: int = 1
     backbone_depth: int = 50
     hbb_anchors: bool = False   # base head keeps horizontal (xyxy) anchors
+    # int8 PTQ on backbone+FPN convs for serving (models/quant.py);
+    # heads/decode stay in the compute dtype
+    quantize: bool = False
 
     @property
     def num_anchors(self) -> int:
@@ -153,8 +156,10 @@ class RRetinaNet(nn.Module):
     def __call__(self, images):
         feats = ResNet(depth=self.cfg.backbone_depth,
                        frozen_stages=self.cfg.frozen_stages,
+                       quantize=self.cfg.quantize,
                        dtype=self.dtype, name='backbone')(images)
-        feats = FPN(out_channels=self.cfg.feat_channels, dtype=self.dtype,
+        feats = FPN(out_channels=self.cfg.feat_channels,
+                    quantize=self.cfg.quantize, dtype=self.dtype,
                     name='neck')(feats)
         cls_scores, bbox_preds = RRetinaHead(
             num_classes=self.cfg.num_classes,
@@ -181,8 +186,10 @@ class R3Det(nn.Module):
         cfg = self.cfg
         feats = ResNet(depth=cfg.backbone_depth,
                        frozen_stages=cfg.frozen_stages,
+                       quantize=cfg.quantize,
                        dtype=self.dtype, name='backbone')(images)
-        feats = FPN(out_channels=cfg.feat_channels, dtype=self.dtype,
+        feats = FPN(out_channels=cfg.feat_channels,
+                    quantize=cfg.quantize, dtype=self.dtype,
                     name='neck')(feats)
         cls0, reg0 = RRetinaHead(
             num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,

@@ -26,32 +26,35 @@ class FPN(nn.Module):
     start_level: int = 1
     num_outs: int = 5
     add_extra_convs: str = 'on_input'
+    quantize: bool = False       # int8 PTQ convs (models/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
+        from .quant import conv_factory
+        Conv = conv_factory(self.quantize)
         used = list(feats[self.start_level:])
         n = len(used)
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                    name=f'lateral_{i}')(used[i])
+            Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                 name=f'lateral_{i}')(used[i])
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
                 laterals[i], laterals[i - 1].shape[1:3])
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    dtype=self.dtype, name=f'fpn_{i}')(laterals[i])
+            Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                 dtype=self.dtype, name=f'fpn_{i}')(laterals[i])
             for i in range(n)
         ]
         extra = self.num_outs - n
         if extra > 0:
             src = feats[-1] if self.add_extra_convs == 'on_input' else outs[-1]
             for i in range(extra):
-                src = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                              padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                              name=f'extra_{i}')(
+                src = Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                           name=f'extra_{i}')(
                     nn.relu(src) if i > 0 else src)
                 outs.append(src)
         return tuple(outs)

@@ -109,6 +109,13 @@ class FeatureRefineModule(nn.Module):
     featmap_strides: Sequence[int] = (8, 16, 32, 64, 128)
     points: int = 1
     transpose_quirk: bool = True
+    # compose conv_5_1 o conv_1_5 + conv_1_1 into ONE 5x5 conv per level
+    # (all three are linear, no activation between them — r3det's
+    # feature_refine_module.py:66-127): K5[dy,dx,ci,co] =
+    # sum_m k15[dx,ci,m] k51[dy,m,co], center tap += k11. Same params,
+    # same math (fp reassociation only); trades 2.3x MXU FLOPs for one
+    # HBM pass instead of three. Off by default until TPU-timed.
+    fuse_convs: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -125,9 +132,37 @@ class FeatureRefineModule(nn.Module):
         conv_1_1 = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype,
                            kernel_init=nn.initializers.normal(0.01),
                            name='conv_1_1')
+        if self.fuse_convs:
+            # bind the submodules on a dummy so the param tree (and
+            # checkpoints) stay identical to the unfused form, then read
+            # their kernels and compose
+            dummy = jnp.zeros((1, 8, 8, self.in_channels), self.dtype)
+            conv_1_1(conv_5_1(conv_1_5(dummy)))
+            p15 = conv_1_5.variables['params']
+            p51 = conv_5_1.variables['params']
+            p11 = conv_1_1.variables['params']
+            k15, b15 = p15['kernel'], p15['bias']
+            k51, b51 = p51['kernel'], p51['bias']
+            k11, b11 = p11['kernel'], p11['bias']
+            # (1,5,ci,m) x (5,1,m,co) -> (5,5,ci,co)
+            k5 = jnp.einsum('xim,ymo->yxio', k15[0], k51[:, 0])
+            k5 = k5.at[2, 2].add(k11[0, 0])
+            # bias: conv_5_1(y + b15) adds sum_m k51[:,m,o] b15[m]
+            bias = b51 + b11 + jnp.einsum('ymo,m->o', k51[:, 0], b15)
+
+            def branch(x):
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), k5.astype(self.dtype), (1, 1),
+                    [(2, 2), (2, 2)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                return y + bias.astype(self.dtype)
+        else:
+            def branch(x):
+                return conv_5_1(conv_1_5(x)) + conv_1_1(x)
+
         out = []
         for lvl, (x, stride) in enumerate(zip(feats, self.featmap_strides)):
-            feat = conv_5_1(conv_1_5(x)) + conv_1_1(x)
+            feat = branch(x)
             scale = 1.0 / stride
 
             refined = feature_refine_sample(

@@ -1,0 +1,114 @@
+"""Post-training int8 quantization for the inference path.
+
+The v5e MXU runs int8 at 394 TOPS vs 197 TFLOP/s bf16, and int8
+activations halve the HBM traffic of the bandwidth-bound early ResNet
+stages — the only path past the ~230 patches/s bf16 roofline
+(PARITY.md speed-of-light analysis). This module provides ``QConv``, a
+drop-in for ``nn.Conv`` on the backbone/FPN (heads and decode stay
+bf16: their logits/regression outputs are precision-sensitive and they
+already run near MXU peak).
+
+Scheme (standard symmetric PTQ):
+- weights: per-output-channel symmetric int8, quantized from the f32
+  params at trace time — the param tree ('kernel', 'bias') is identical
+  to nn.Conv, so checkpoints and the torchvision converter work
+  unchanged;
+- activations: per-tensor symmetric int8 with a CALIBRATED static scale
+  stored in the 'quant_stats' collection (one scalar per conv). Running
+  the model with ``mutable=['quant_stats']`` records max|x| (one
+  calibration pass over any representative batch — tools/test.py
+  --calibrate-int8 or a synthetic batch); uncalibrated scales fall back
+  to a dynamic max|x| reduction (correct but pays an extra read of the
+  activation).
+- the conv itself: int8 x int8 -> int32 via
+  ``lax.conv_general_dilated(..., preferred_element_type=jnp.int32)``
+  (XLA's canonical MXU int8 form), dequantized by (act_scale *
+  per-channel weight scale).
+
+Reference counterpart: none (the reference serves fp32/fp16 CUDA); this
+is the TPU-native serving component the >=300 patches/s target requires.
+"""
+from typing import Any, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _quantize_weights(kernel):
+    """f32 (kh, kw, ci, co) -> (int8 kernel, f32 per-co scale)."""
+    kmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))          # (co,)
+    scale = jnp.maximum(kmax, 1e-8) / 127.0
+    ki = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return ki, scale
+
+
+class QConv(nn.Module):
+    """int8 symmetric-PTQ convolution, param-tree-compatible with
+    nn.Conv(use_bias=False)."""
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = 'SAME'
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param('kernel', self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        ki, kscale = _quantize_weights(kernel.astype(jnp.float32))
+        # calibrated per-tensor activation scale; 0 = uncalibrated
+        amax = self.variable('quant_stats', 'act_absmax',
+                             lambda: jnp.zeros((), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        dyn = jnp.max(jnp.abs(x32))
+        if self.is_mutable_collection('quant_stats'):
+            amax.value = jnp.maximum(amax.value, dyn)
+        absmax = jnp.where(amax.value > 0, amax.value, dyn)
+        ascale = jnp.maximum(absmax, 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(x32 / ascale), -127, 127).astype(jnp.int8)
+        pad = self.padding
+        if not isinstance(pad, str):
+            pad = [tuple(p) for p in pad]
+        y = jax.lax.conv_general_dilated(
+            xi, ki, self.strides, pad,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (ascale * kscale)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def conv_factory(quantize: bool):
+    """nn.Conv-compatible constructor: QConv when quantize else nn.Conv."""
+    if not quantize:
+        return nn.Conv
+
+    def make(features, kernel_size, strides=(1, 1), padding='SAME',
+             use_bias=True, dtype=jnp.bfloat16, name=None, **kw):
+        return QConv(features=features, kernel_size=tuple(kernel_size),
+                     strides=tuple(strides) if not isinstance(
+                         strides, int) else (strides, strides),
+                     padding=padding, use_bias=use_bias, dtype=dtype,
+                     name=name)
+    return make
+
+
+def calibrate(model, variables, sample_batches):
+    """One-pass activation-range calibration.
+
+    Runs the model over ``sample_batches`` with quant_stats mutable and
+    returns variables with the recorded per-conv act_absmax filled in.
+    """
+    qs = variables.get('quant_stats', {})
+    for x in sample_batches:
+        _, mut = model.apply(variables, x, mutable=['quant_stats'])
+        qs = mut['quant_stats']
+        variables = dict(variables, quant_stats=qs)
+    return variables

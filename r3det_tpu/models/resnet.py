@@ -48,31 +48,35 @@ class FrozenBN(nn.Module):
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck, 'pytorch style' (stride on the
-    3x3), matching torchvision/mmcv ResNet."""
+    3x3), matching torchvision/mmcv ResNet. ``quantize`` swaps the convs
+    for int8 PTQ QConv (models/quant.py) — same param tree."""
     features: int                 # bottleneck width; out = features * 4
     stride: int = 1
+    quantize: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from .quant import conv_factory
+        Conv = conv_factory(self.quantize)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name='conv1')(x)
+        y = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                 name='conv1')(x)
         y = FrozenBN(self.features, dtype=self.dtype, name='bn1')(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name='conv2')(y)
+        y = Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], use_bias=False,
+                 dtype=self.dtype, name='conv2')(y)
         y = FrozenBN(self.features, dtype=self.dtype, name='bn2')(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
-                    dtype=self.dtype, name='conv3')(y)
+        y = Conv(self.features * 4, (1, 1), use_bias=False,
+                 dtype=self.dtype, name='conv3')(y)
         y = FrozenBN(self.features * 4, dtype=self.dtype, name='bn3')(y)
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
-            residual = nn.Conv(self.features * 4, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               name='downsample_conv')(x)
+            residual = Conv(self.features * 4, (1, 1),
+                            strides=(self.stride, self.stride),
+                            use_bias=False, dtype=self.dtype,
+                            name='downsample_conv')(x)
             residual = FrozenBN(self.features * 4, dtype=self.dtype,
                                 name='downsample_bn')(residual)
         return nn.relu(y + residual)
@@ -124,6 +128,9 @@ class ResNet(nn.Module):
     # the remote-compile service (the 16-way lane concat is the likely
     # culprit) — keep it off until a TPU-validated build exists.
     stem_fused_kernel: bool = False
+    # int8 PTQ on the bottleneck convs (models/quant.py); the stem stays
+    # in the compute dtype (tiny, and its s2d4 form is already fast)
+    quantize: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -189,7 +196,7 @@ class ResNet(nn.Module):
             for blk in range(num_blocks):
                 stride = 2 if (blk == 0 and stage > 0) else 1
                 x = Bottleneck(widths[stage], stride=stride,
-                               dtype=self.dtype,
+                               quantize=self.quantize, dtype=self.dtype,
                                name=f'layer{stage + 1}_{blk}')(x)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -97,6 +97,9 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
         loss_bbox_type='l1' if lb_type == 'L1Loss' else 'smooth_l1',
         frozen_stages=model.get('backbone', {}).get('frozen_stages', 1),
         backbone_depth=model.get('backbone', {}).get('depth', 50),
+        # framework extension: int8 PTQ serving (models/quant.py)
+        quantize=bool(model.get('quantize_int8',
+                                test_cfg.get('quantize_int8', False))),
     )
     return cfg
 

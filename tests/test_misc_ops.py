@@ -103,3 +103,32 @@ def test_rbbox2roi():
                       np.full((1, 6), 2.0, np.float32)])
     assert rois.shape == (3, 6)
     assert rois[0, 0] == 0 and rois[2, 0] == 2
+
+
+def test_frm_fused_conv_matches_unfused():
+    """fuse_convs composes conv_5_1 o conv_1_5 + conv_1_1 into one 5x5
+    conv (all linear — feature_refine_module.py:66-127); same param
+    tree, same outputs."""
+    import jax
+    import jax.numpy as jnp
+    from r3det_tpu.models.frm import FeatureRefineModule
+    r = np.random.RandomState(0)
+    feats = tuple(jnp.asarray(r.normal(0, 1, (2, s, s, 32)).astype(
+        np.float32)) for s in (16, 8))
+    rois = tuple(jnp.asarray(np.stack([
+        r.uniform(0, 128, (2, s * s)), r.uniform(0, 128, (2, s * s)),
+        r.uniform(8, 30, (2, s * s)), r.uniform(6, 20, (2, s * s)),
+        r.uniform(-1.5, 0, (2, s * s))], -1).astype(np.float32))
+        for s in (16, 8))
+    m0 = FeatureRefineModule(in_channels=32, featmap_strides=(8, 16))
+    m1 = FeatureRefineModule(in_channels=32, featmap_strides=(8, 16),
+                             fuse_convs=True)
+    v = m0.init(jax.random.PRNGKey(0), feats, rois)
+    o0 = m0.apply(v, feats, rois)
+    o1 = m1.apply(v, feats, rois)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(m1.init(jax.random.PRNGKey(0),
+                                             feats, rois))
