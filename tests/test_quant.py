@@ -64,3 +64,29 @@ def test_quantized_detector_forward_and_calibration():
     a = np.asarray(out['s0'][0][0])
     c = np.asarray(outc['s0'][0][0])
     assert np.abs(a - c).max() / (np.abs(a).max() + 1e-9) < 0.05
+
+
+def test_quantized_eval_loop_runs(tmp_path):
+    """The int8 serving path end-to-end: calibrate on a batch, run
+    evaluate_dataset (the tools/test.py core) on a quantized model."""
+    from r3det_tpu.utils.eval_loop import evaluate_dataset
+
+    class _OneImage:
+        def __len__(self):
+            return 2
+
+        def get_sample(self, i):
+            r = np.random.RandomState(i)
+            return {'img': r.uniform(0, 255, (64, 64, 3)).astype(
+                np.float32), 'scale_factor': np.ones(4, np.float32)}
+
+    cfg = TINY._replace(quantize=True)
+    mq = build_detector(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vq = jax.jit(mq.init)(jax.random.PRNGKey(0), x)
+    vq = calibrate(mq, vq, [jnp.asarray(np.random.RandomState(9).uniform(
+        -2, 2, (2, 64, 64, 3)).astype(np.float32))])
+    results = evaluate_dataset(vq, mq, cfg, _OneImage(), img_size=64,
+                               batch_size=2)
+    assert len(results) == 2
+    assert all(len(per) == cfg.num_classes for per in results)

@@ -29,6 +29,10 @@ def parse_args():
                    help='override the test pipeline img_scale (default: '
                         'the config test pipeline\'s scale, else 1024)')
     p.add_argument('--batch-size', type=int, default=4)
+    p.add_argument('--calibrate-int8', type=int, default=0, metavar='N',
+                   help='with quantize_int8 models: freeze per-conv '
+                        'activation scales from N dataset batches before '
+                        'inference (default: dynamic scales)')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -79,9 +83,35 @@ def main():
         import orbax.checkpoint as ocp
         payload = ocp.PyTreeCheckpointer().restore(
             osp.abspath(args.checkpoint))
-        variables = {'params': payload['params'],
-                     'batch_stats': payload.get('batch_stats', {})}
+        restored = {'params': payload['params'],
+                    'batch_stats': payload.get('batch_stats', {})}
+        if 'quant_stats' in variables:       # int8 serving model
+            restored['quant_stats'] = payload.get(
+                'quant_stats', variables['quant_stats'])
+        variables = restored
         print(f'loaded {args.checkpoint}')
+
+    if det_cfg.quantize and args.calibrate_int8:
+        # freeze per-conv activation scales from real data so serving
+        # skips the dynamic max|x| pass (models/quant.py)
+        from r3det_tpu.datasets.transforms import Normalize, Pad, RResize
+        from r3det_tpu.models.quant import calibrate
+        cal_pipe = [RResize((hw[1], hw[0])), Normalize(),
+                    Pad(32, fixed_size=canvas)]
+        batches = []
+        cal_bs = max(args.batch_size, 1)
+        for start in range(0, min(args.calibrate_int8 * cal_bs, len(ds)),
+                           cal_bs):
+            imgs = []
+            for i in range(start, min(start + cal_bs, len(ds))):
+                r = ds.get_sample(i)
+                for st in cal_pipe:
+                    r = st(r)
+                imgs.append(r['img'])
+            batches.append(jnp.asarray(np.stack(imgs).astype(np.float32)))
+        variables = calibrate(model, variables, batches)
+        print(f'int8 activation scales calibrated over '
+              f'{len(batches)} batches')
 
     # shard eval batches over every local device (reference multi_gpu_test
     # equivalent; see r3det_tpu/utils/eval_loop.py for the multi-host path)
