@@ -634,12 +634,49 @@ def _ensure_head_stubs():
     rutils = _load_ref('r3det/core/anchor/rutils.py', 'ref_r3det_rutils')
     r3core.ranchor_inside_flags = rutils.ranchor_inside_flags
 
-    def multiclass_nms_rotated(*a, **k):
-        raise NotImplementedError(
-            'head oracle covers the loss path; NMS parity is tested '
-            'against the compiled kernels in test_reference_parity.py')
-    r3core.multiclass_nms_rotated = multiclass_nms_rotated
+    # the reference's own multiclass_nms_rotated dispatch
+    # (post_processing/bbox_nms_rotated.py) over its own op wrappers,
+    # with the compiled CPU kernels behind them — the full reference
+    # get_bboxes path runs on CPU
+    r3core.multiclass_nms_rotated = _ref_multiclass_nms_rotated()
     sys.modules['r3det'].core = r3core
+
+
+@functools.cache
+def _ref_multiclass_nms_rotated():
+    """Load bbox_nms_rotated.py with the reference's rnms/nms_rotated
+    python wrappers bound to the compiled CPU extensions."""
+    # packages so the wrappers' `from . import <ext>` resolves to the
+    # compiled CPU modules
+    rnms_pkg = _module('ref_rnms_pkg')
+    rnms_pkg.__path__ = [os.path.join(REF, 'r3det/ops/rnms')]
+    sys.modules['ref_rnms_pkg.rnms_ext'] = build_rnms_cpu()
+    rnms_wrapper = importlib.import_module('ref_rnms_pkg.rnms_wrapper')
+
+    nrot_pkg = _module('ref_nmsrot_pkg')
+    nrot_pkg.__path__ = [os.path.join(REF, 'r3det/ops/nms_rotated')]
+    sys.modules['ref_nmsrot_pkg.nms_rotated_ext'] = build_nms_rotated_cpu()
+    nrot_wrapper = importlib.import_module(
+        'ref_nmsrot_pkg.nms_rotated_wrapper')
+
+    ops = sys.modules['r3det.ops']
+    ops.batched_rnms = rnms_wrapper.batched_rnms
+    ops.obb_batched_nms = nrot_wrapper.obb_batched_nms
+
+    def ml_nms_rotated(*a, **k):
+        raise NotImplementedError('v2 multiclass path not oracle-wired')
+    ops.ml_nms_rotated = ml_nms_rotated
+
+    mmcv_ops = _module('mmcv.ops')
+
+    def _mmcv_nms_rotated(*a, **k):
+        raise NotImplementedError("'mmcv' NMS branch is CUDA-only")
+    mmcv_ops.nms_rotated = _mmcv_nms_rotated
+    sys.modules['mmcv'].ops = mmcv_ops
+
+    bnr = _load_ref('r3det/core/post_processing/bbox_nms_rotated.py',
+                    'ref_bbox_nms_rotated')
+    return bnr.multiclass_nms_rotated
 
 
 def _ref_heads_pkg():

@@ -41,10 +41,10 @@ IMG = 64
 FEATS = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
 
 
-def _build_ref_head(version, circum):
+def _build_ref_head(version, circum, num_classes=NUM_CLASSES):
     mod = ref_retina_head_module()
     head = mod.RRetinaHead(
-        num_classes=NUM_CLASSES,
+        num_classes=num_classes,
         in_channels=CH,
         feat_channels=CH,
         stacked_convs=STACKED,
@@ -74,6 +74,7 @@ def _build_ref_head(version, circum):
 
 
 def _flax_params_from_torch(head):
+    """torch OIHW conv weights -> flax head params (HWIO)."""
     def conv(m):
         return {'kernel': jnp.asarray(
                     m.weight.detach().numpy().transpose(2, 3, 1, 0)),
@@ -178,3 +179,82 @@ def test_head_forward_and_loss_match_reference(version, circum):
         f'loss_cls {got_cls!r} != reference {ref_cls!r}')
     assert abs(got_bbox - ref_bbox) <= 2e-4 * max(1.0, abs(ref_bbox)), (
         f'loss_bbox {got_bbox!r} != reference {ref_bbox!r}')
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('nms_version', ['v1', 'v3'])
+def test_get_bboxes_matches_reference(nms_version):
+    """Predict-side parity: the reference's _get_bboxes_single — its own
+    per-level top-nms_pre, decode, rescale-skip-angle, BG padding and
+    multiclass_nms_rotated dispatch over its own op wrappers backed by
+    the compiled CPU kernels (rotate_anchor_head.py:590-675 +
+    bbox_nms_rotated.py) — vs this framework's detector_predict on
+    identical weights and features."""
+    version = 'v1'
+    # v1 runs single-class: the reference's v1 batched_rnms separates
+    # classes by offsetting box CENTERS by max_coordinate+1
+    # (rnms_wrapper.py:60-66), which only equals true label gating while
+    # every box's reach stays below the offset — P6/P7 anchors on this
+    # tiny test image violate that by construction (the reference's own
+    # v1 and v3 backends disagree with each other there: v3 uses sound
+    # hbb-extent offsets, nms_rotated_wrapper.py:85-90). The label-gate
+    # == offset equivalence at realistic box scales is covered in
+    # test_nms.py; v3 below covers the multi-class dispatch.
+    num_classes = 1 if nms_version == 'v1' else NUM_CLASSES
+    ref_head = _build_ref_head(version, True, num_classes)
+    # widen the cls logits so a random-init model produces detections
+    torch.manual_seed(3)
+    with torch.no_grad():
+        ref_head.retina_cls.weight.mul_(40.0)
+    feats, _, _ = _fixed_inputs()
+    tfeats = [torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats]
+    with torch.no_grad():
+        cls_t, reg_t = ref_head(tfeats)
+
+    from ref_oracle import AttrDict
+    tcfg = AttrDict(dict(nms_pre=50, score_thr=0.01, max_per_img=100,
+                         nms=dict(type=nms_version, iou_thr=0.3)))
+    anchors_t = ref_head.anchor_generator.grid_priors(FEATS, device='cpu')
+    ref_dets = []
+    for img in range(2):
+        with torch.no_grad():
+            dets, labels = ref_head._get_bboxes_single(
+                [cls_t[lvl][img] for lvl in range(5)],
+                [reg_t[lvl][img] for lvl in range(5)],
+                anchors_t, (IMG, IMG, 3), np.ones(4, np.float32), tcfg,
+                rescale=False)
+        ref_dets.append((dets.numpy(), labels.numpy()))
+
+    from r3det_tpu.models.detectors import TestCfg, detector_predict
+    cfg = DetectorConfig(
+        num_classes=num_classes, angle_version=version,
+        stacked_convs=STACKED, feat_channels=CH,
+        test=TestCfg(nms_pre=50, score_thr=0.01, nms_iou_thr=0.3,
+                     max_per_img=100, nms_version=nms_version,
+                     nms_candidates=50 * 5 * num_classes))
+    model = RRetinaHead(num_classes=num_classes, in_channels=CH,
+                       feat_channels=CH, stacked_convs=STACKED,
+                       num_anchors=9)
+    variables = _flax_params_from_torch(ref_head)
+    cls_j, reg_j = model.apply(variables, tuple(jnp.asarray(f)
+                                                for f in feats))
+    dets_j, labels_j, num_j = detector_predict(
+        {'s0': (cls_j, reg_j)}, cfg, tuple(FEATS), img_shape=(IMG, IMG))
+
+    for img in range(2):
+        want_d, want_l = ref_dets[img]
+        n = int(num_j[img])
+        got_d = np.asarray(dets_j[img][:n])
+        got_l = np.asarray(labels_j[img][:n])
+        assert n == len(want_d), (
+            f'{nms_version} img{img}: {n} dets vs reference '
+            f'{len(want_d)}')
+        # the reference returns keeps in candidate order, ours in score
+        # order — compare as row-sorted sets (labels appended)
+        got = np.concatenate([got_d, got_l[:, None].astype(np.float32)],
+                             -1)
+        want = np.concatenate([want_d,
+                               want_l[:, None].astype(np.float32)], -1)
+        got = got[np.lexsort(got.T[::-1])]
+        want = want[np.lexsort(want.T[::-1])]
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
