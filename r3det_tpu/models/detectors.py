@@ -92,8 +92,11 @@ class DetectorConfig(NamedTuple):
     backbone_depth: int = 50
     hbb_anchors: bool = False   # base head keeps horizontal (xyxy) anchors
     # int8 PTQ on backbone+FPN convs for serving (models/quant.py);
-    # heads/decode stay in the compute dtype
-    quantize: bool = False
+    # False | True (dynamic-scale fallback) | 'static' (calibrated)
+    quantize: Any = False
+    # int8 PTQ on the head TOWER convs (final pred convs always stay
+    # high-precision); same False | True | 'static' values
+    quantize_head: Any = False
 
     @property
     def num_anchors(self) -> int:
@@ -166,6 +169,7 @@ class RRetinaNet(nn.Module):
             feat_channels=self.cfg.feat_channels,
             stacked_convs=self.cfg.stacked_convs,
             num_anchors=self.cfg.num_anchors,
+            quantize=self.cfg.quantize_head,
             dtype=self.dtype, name='bbox_head')(feats)
         return {'s0': (cls_scores, bbox_preds)}
 
@@ -180,6 +184,9 @@ class R3Det(nn.Module):
     dtype: Any = jnp.bfloat16
     frm_points: int = 1
     frm_transpose_quirk: bool = True
+    # compose the FRM's 1x5+5x1+1x1 convs into one 5x5 at trace time
+    # (models/frm.py fuse_convs: same params/math, one HBM pass)
+    frm_fuse_convs: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -194,6 +201,7 @@ class R3Det(nn.Module):
         cls0, reg0 = RRetinaHead(
             num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
             stacked_convs=cfg.stacked_convs, num_anchors=cfg.num_anchors,
+            quantize=cfg.quantize_head,
             dtype=self.dtype, name='bbox_head')(feats)
 
         anchors = level_anchors(cfg, [f.shape[1:3] for f in cls0])
@@ -206,11 +214,12 @@ class R3Det(nn.Module):
                 in_channels=cfg.feat_channels, featmap_strides=cfg.strides,
                 points=self.frm_points,
                 transpose_quirk=self.frm_transpose_quirk,
+                fuse_convs=self.frm_fuse_convs,
                 dtype=self.dtype, name=f'frm_{stage}')(feats, rois)
             cls_i, reg_i = RRetinaHead(
                 num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
                 stacked_convs=cfg.refine_stacked_convs or cfg.stacked_convs,
-                num_anchors=1,
+                num_anchors=1, quantize=cfg.quantize_head,
                 dtype=self.dtype, name=f'refine_head_{stage}')(feats)
             out['sr'].append((cls_i, reg_i))
             out['rois'].append(rois)

@@ -45,7 +45,15 @@ def _quantize_weights(kernel):
 
 class QConv(nn.Module):
     """int8 symmetric-PTQ convolution, param-tree-compatible with
-    nn.Conv(use_bias=False)."""
+    nn.Conv(use_bias=False).
+
+    ``static_scale=True`` trusts the calibrated 'quant_stats' scale and
+    skips the dynamic max|x| reduction entirely — the runtime-``where``
+    fallback otherwise keeps the extra full read of the activation in
+    the compiled program even when calibrated (the select's both-branch
+    data dependency). Requires a calibration pass first; uncalibrated
+    static scales quantize everything to ~0.
+    """
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
@@ -53,6 +61,7 @@ class QConv(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     kernel_init: Any = nn.initializers.lecun_normal()
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -64,10 +73,14 @@ class QConv(nn.Module):
         amax = self.variable('quant_stats', 'act_absmax',
                              lambda: jnp.zeros((), jnp.float32))
         x32 = x.astype(jnp.float32)
-        dyn = jnp.max(jnp.abs(x32))
-        if self.is_mutable_collection('quant_stats'):
-            amax.value = jnp.maximum(amax.value, dyn)
-        absmax = jnp.where(amax.value > 0, amax.value, dyn)
+        mutable = self.is_mutable_collection('quant_stats')
+        if mutable or not self.static_scale:
+            dyn = jnp.max(jnp.abs(x32))
+            if mutable:
+                amax.value = jnp.maximum(amax.value, dyn)
+            absmax = jnp.where(amax.value > 0, amax.value, dyn)
+        else:
+            absmax = amax.value
         ascale = jnp.maximum(absmax, 1e-8) / 127.0
         xi = jnp.clip(jnp.round(x32 / ascale), -127, 127).astype(jnp.int8)
         pad = self.padding
@@ -85,18 +98,27 @@ class QConv(nn.Module):
         return y.astype(self.dtype)
 
 
-def conv_factory(quantize: bool):
-    """nn.Conv-compatible constructor: QConv when quantize else nn.Conv."""
+def conv_factory(quantize):
+    """nn.Conv-compatible constructor: QConv when quantize else nn.Conv.
+
+    ``quantize`` is False (plain nn.Conv), True (int8, dynamic-scale
+    fallback when uncalibrated) or the string 'static' (int8, trust the
+    calibrated scales and skip the per-conv max|x| pass — the serving
+    configuration after tools/test.py --calibrate-int8).
+    """
     if not quantize:
         return nn.Conv
+    static = quantize == 'static'
 
     def make(features, kernel_size, strides=(1, 1), padding='SAME',
-             use_bias=True, dtype=jnp.bfloat16, name=None, **kw):
+             use_bias=True, dtype=jnp.bfloat16, name=None,
+             kernel_init=nn.initializers.lecun_normal(), **kw):
         return QConv(features=features, kernel_size=tuple(kernel_size),
                      strides=tuple(strides) if not isinstance(
                          strides, int) else (strides, strides),
                      padding=padding, use_bias=use_bias, dtype=dtype,
-                     name=name)
+                     name=name, kernel_init=kernel_init,
+                     static_scale=static)
     return make
 
 

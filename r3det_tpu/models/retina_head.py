@@ -33,15 +33,21 @@ class RRetinaHead(nn.Module):
     stacked_convs: int = 4
     num_anchors: int = 9
     dtype: Any = jnp.float32
+    # int8 PTQ (models/quant.py) on the TOWER convs only; the final
+    # retina_cls/retina_reg prediction convs always stay high-precision
+    # (their logits/deltas feed decode directly). False | True | 'static'.
+    quantize: Any = False
 
     @nn.compact
     def __call__(self, feats) -> Tuple[tuple, tuple]:
+        from .quant import conv_factory
+        Conv = conv_factory(self.quantize)
         conv_kw = dict(padding=[(1, 1), (1, 1)], dtype=self.dtype,
                        kernel_init=nn.initializers.normal(0.01))
-        cls_convs = [nn.Conv(self.feat_channels, (3, 3), name=f'cls_conv_{i}',
-                             **conv_kw) for i in range(self.stacked_convs)]
-        reg_convs = [nn.Conv(self.feat_channels, (3, 3), name=f'reg_conv_{i}',
-                             **conv_kw) for i in range(self.stacked_convs)]
+        cls_convs = [Conv(self.feat_channels, (3, 3), name=f'cls_conv_{i}',
+                          **conv_kw) for i in range(self.stacked_convs)]
+        reg_convs = [Conv(self.feat_channels, (3, 3), name=f'reg_conv_{i}',
+                          **conv_kw) for i in range(self.stacked_convs)]
         retina_cls = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
                              padding=[(1, 1), (1, 1)], dtype=self.dtype,
                              kernel_init=nn.initializers.normal(0.01),

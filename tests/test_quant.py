@@ -66,6 +66,24 @@ def test_quantized_detector_forward_and_calibration():
     assert np.abs(a - c).max() / (np.abs(a).max() + 1e-9) < 0.05
 
 
+def test_static_scale_matches_dynamic_after_calibration():
+    """quantize='static' (serving: skip the per-conv max|x| pass) is
+    bit-identical to the dynamic path once calibrated on the same data
+    — the recorded absmax equals the dynamic reduction's value."""
+    mq = build_detector(TINY._replace(quantize=True), dtype=jnp.float32)
+    ms = build_detector(TINY._replace(quantize='static'),
+                        dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(1).uniform(
+        -2, 2, (1, 64, 64, 3)).astype(np.float32))
+    vq = jax.jit(mq.init)(jax.random.PRNGKey(0), x)
+    vq = calibrate(mq, vq, [x])
+    out_d = mq.apply(vq, x)
+    out_s = ms.apply(vq, x)
+    for lvl in range(len(out_d['s0'][0])):
+        np.testing.assert_array_equal(np.asarray(out_d['s0'][0][lvl]),
+                                      np.asarray(out_s['s0'][0][lvl]))
+
+
 def test_quantized_eval_loop_runs(tmp_path):
     """The int8 serving path end-to-end: calibrate on a batch, run
     evaluate_dataset (the tools/test.py core) on a quantized model."""
