@@ -215,6 +215,7 @@ class R3Det(nn.Module):
                 points=self.frm_points,
                 transpose_quirk=self.frm_transpose_quirk,
                 fuse_convs=self.frm_fuse_convs,
+                quantize=cfg.quantize,
                 dtype=self.dtype, name=f'frm_{stage}')(feats, rois)
             cls_i, reg_i = RRetinaHead(
                 num_classes=cfg.num_classes, feat_channels=cfg.feat_channels,
