@@ -79,14 +79,15 @@ def _integral_area(ax, ay, bx, by):
     return jnp.abs(s1 + s2) * 0.5
 
 
-def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode, upper_only=False):
-    # b1_ref: (TILE_R, 5) row boxes; b2_ref: (5, TILE_C) col boxes
+def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode, upper_only=False,
+                     tile_r=TILE_R, tile_c=TILE_C):
+    # b1_ref: (tile_r, 5) row boxes; b2_ref: (5, tile_c) col boxes
     if upper_only:
         # greedy NMS consumes the strictly-upper triangle only: skip
         # whole tiles strictly below the diagonal (about half the grid)
         i = pl.program_id(0)
         j = pl.program_id(1)
-        below_diag = (i * TILE_R) >= ((j + 1) * TILE_C)
+        below_diag = (i * tile_r) >= ((j + 1) * tile_c)
 
         @pl.when(below_diag)
         def _():
@@ -100,7 +101,8 @@ def _iou_tile_kernel(b1_ref, b2_ref, out_ref, *, mode, upper_only=False):
 
 
 def _iou_tile_kernel_vcount(v_ref, b1_ref, b2_ref, out_ref, *, mode,
-                            upper_only=False):
+                            upper_only=False, tile_r=TILE_R,
+                            tile_c=TILE_C):
     """Valid-prefix variant: tiles entirely past the first v_ref[0] rows
     or columns are zero-filled without computing. Callers sort valid
     boxes to a prefix (NMS sorts by gated score), so IoU work scales
@@ -108,9 +110,9 @@ def _iou_tile_kernel_vcount(v_ref, b1_ref, b2_ref, out_ref, *, mode,
     i = pl.program_id(0)
     j = pl.program_id(1)
     v = v_ref[0]
-    skip = (i * TILE_R >= v) | (j * TILE_C >= v)
+    skip = (i * tile_r >= v) | (j * tile_c >= v)
     if upper_only:
-        skip |= (i * TILE_R) >= ((j + 1) * TILE_C)
+        skip |= (i * tile_r) >= ((j + 1) * tile_c)
 
     @pl.when(skip)
     def _():
@@ -140,9 +142,9 @@ def _iou_tile_body(b1_ref, b2_ref, out_ref, mode):
 
 
 @functools.partial(jax.jit, static_argnames=('mode', 'interpret',
-                                              'upper_only'))
+                                              'upper_only', 'tile_r'))
 def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
-                       upper_only=False, valid_count=None):
+                       upper_only=False, valid_count=None, tile_r=None):
     """Dense (N, M) rotated IoU/IoF via the tiled clip kernel.
 
     upper_only zeroes tiles strictly below the diagonal (valid only for
@@ -150,11 +152,17 @@ def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
     valid_count (traced int scalar): when given, rows/cols at index >=
     valid_count produce zeros without computing — callers must have
     sorted valid entries to a prefix. Makes NMS IoU cost track the live
-    candidate count instead of the static K."""
+    candidate count instead of the static K.
+    tile_r: grid tile height; None auto-sizes. (8, 128) suits small or
+    ragged problems; NMS/assignment-sized problems (n >= 256) take 64 —
+    per-tile grid overhead dominates otherwise (measured on v5e at
+    K=2000 x batch 32: 14.7 -> 2.5 ms/b32 skipped-path, 36.4 -> 20.6
+    live)."""
     n, m = boxes1.shape[0], boxes2.shape[0]
     if n == 0 or m == 0:
         return jnp.zeros((n, m), dtype=jnp.float32)
-    pad_n = (-n) % TILE_R
+    tr = tile_r or (64 if n >= 256 else TILE_R)
+    pad_n = (-n) % tr
     pad_m = (-m) % TILE_C
     b1 = jnp.pad(boxes1.astype(jnp.float32), ((0, pad_n), (0, 0)))
     b2 = jnp.pad(boxes2.astype(jnp.float32), ((0, pad_m), (0, 0))).T
@@ -163,16 +171,16 @@ def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
     if valid_count is None:
         out = pl.pallas_call(
             functools.partial(_iou_tile_kernel, mode=mode,
-                              upper_only=upper_only),
+                              upper_only=upper_only, tile_r=tr),
             out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
-            grid=(np_ // TILE_R, mp // TILE_C),
+            grid=(np_ // tr, mp // TILE_C),
             in_specs=[
-                pl.BlockSpec((TILE_R, 5), lambda i, j: (i, 0),
+                pl.BlockSpec((tr, 5), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((5, TILE_C), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+            out_specs=pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(b1, b2)
@@ -181,19 +189,19 @@ def rotated_iou_pallas(boxes1, boxes2, mode='iou', interpret=False,
     vc = jnp.asarray(valid_count, jnp.int32).reshape((1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(np_ // TILE_R, mp // TILE_C),
+        grid=(np_ // tr, mp // TILE_C),
         in_specs=[
-            pl.BlockSpec((TILE_R, 5), lambda i, j, v: (i, 0),
+            pl.BlockSpec((tr, 5), lambda i, j, v: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((5, TILE_C), lambda i, j, v: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, TILE_C), lambda i, j, v: (i, j),
+        out_specs=pl.BlockSpec((tr, TILE_C), lambda i, j, v: (i, j),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_iou_tile_kernel_vcount, mode=mode,
-                          upper_only=upper_only),
+                          upper_only=upper_only, tile_r=tr),
         out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
