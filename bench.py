@@ -122,10 +122,12 @@ def _alarm(signum, frame):
 #: attempt ladder: (batch, quantize). BENCH_QUANT=1 forces int8-only,
 #: =0 forces bf16-only; default tries int8 first (the serving config)
 #: and degrades to the long-validated bf16 program on any failure.
-_QUANT_DEFAULT = [(48, True), (32, True), (48, False), (32, False),
+#: b32 leads: since the 64-row IoU tiles cut the NMS fixed cost, b32
+#: measures faster than b48 (211.9 vs 194.7 patches/s on v5e).
+_QUANT_DEFAULT = [(32, True), (48, True), (32, False),
                   (16, False), (8, False)]
-_BF16_ONLY = [(48, False), (32, False), (16, False), (8, False)]
-_INT8_ONLY = [(48, True), (32, True), (16, True), (8, True)]
+_BF16_ONLY = [(32, False), (48, False), (16, False), (8, False)]
+_INT8_ONLY = [(32, True), (48, True), (16, True), (8, True)]
 
 
 def main():
