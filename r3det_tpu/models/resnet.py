@@ -178,7 +178,8 @@ class ResNet(nn.Module):
                     default=stem_conv_pool_reference).astype(self.dtype)
             else:
                 x = stem_conv_pool_s2d4(
-                    x, kern, inv, off, dtype=self.dtype).astype(self.dtype)
+                    x, kern, inv, off, dtype=self.dtype,
+                    quantize=bool(self.quantize)).astype(self.dtype)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,

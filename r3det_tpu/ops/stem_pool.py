@@ -275,7 +275,8 @@ def fold_stem_kernel_s2d4(kernel):
     return k3.reshape(3, 3, 4 * CIN, 4 * COUT)
 
 
-def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16):
+def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16,
+                        quantize=False):
     """XLA-only fused-stem alternative: fold the 12-channel stem once
     more (space-to-depth(2) again -> 48 channels) so the conv becomes a
     lane-friendly K=432 -> 256 contraction, then max-pool on the 2x2
@@ -293,11 +294,32 @@ def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16):
     # second space-to-depth fold: (B, H/2, W/2, 48)
     x48 = x12.reshape(b, h // 2, 2, w // 2, 2, cin).transpose(
         0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
-    k3 = fold_stem_kernel_s2d4(kernel).astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        x48.astype(dtype), k3, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32)     # (B, H/2, W/2, 256)
+    k3 = fold_stem_kernel_s2d4(kernel)
+    if quantize:
+        # symmetric int8 PTQ (same scheme as models/quant.py): weights
+        # per-output-channel, activation per-tensor with a dynamic
+        # max|x| scale (input is the normalized image — one cheap extra
+        # read; no calibration state needed for a single conv). Gated
+        # by ResNet.quantize, i.e. the serving int8 configuration.
+        k3 = k3.astype(jnp.float32)
+        kmax = jnp.max(jnp.abs(k3), axis=(0, 1, 2))
+        kscale = jnp.maximum(kmax, 1e-8) / 127.0
+        ki = jnp.clip(jnp.round(k3 / kscale), -127,
+                      127).astype(jnp.int8)
+        x32 = x48.astype(jnp.float32)
+        ascale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(x32 / ascale), -127,
+                      127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xi, ki, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (ascale * kscale)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x48.astype(dtype), k3.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)     # (B, H/2, W/2, 256)
     scale4 = jnp.tile(scale.reshape(1, -1), (4, 1)).reshape(-1)
     bias4 = jnp.tile(bias.reshape(1, -1), (4, 1)).reshape(-1)
     y = y * scale4 + bias4
