@@ -86,10 +86,20 @@ class QConv(nn.Module):
         pad = self.padding
         if not isinstance(pad, str):
             pad = [tuple(p) for p in pad]
+        # bf16 conv output when computing in bf16: XLA does NOT fuse the
+        # dequant epilogue into TPU convolutions — the accumulator buffer
+        # round-trips through HBM (s32[B,H,W,C] materialized; measured
+        # 537 MB per C2 bottleneck at batch 8, the dominant early-stage
+        # traffic). preferred_element_type=bf16 keeps int32 MXU
+        # accumulation in-register and writes bf16, halving that
+        # round trip. The rounding matches the path's overall bf16
+        # precision (the dequant result is cast to bf16 anyway). Exact
+        # int32 is kept for f32 models (parity/debug).
+        out_t = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.int32
         y = jax.lax.conv_general_dilated(
             xi, ki, self.strides, pad,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=out_t)
         y = y.astype(jnp.float32) * (ascale * kscale)
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros,

@@ -313,8 +313,9 @@ def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16,
         y = jax.lax.conv_general_dilated(
             xi, ki, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (ascale * kscale)
+            preferred_element_type=jnp.bfloat16 if dtype == jnp.bfloat16
+            else jnp.int32)     # see models/quant.py: avoids the s32
+        y = y.astype(jnp.float32) * (ascale * kscale)   # HBM round trip
     else:
         y = jax.lax.conv_general_dilated(
             x48.astype(dtype), k3.astype(dtype), (1, 1), [(1, 1), (1, 1)],
