@@ -123,10 +123,11 @@ class ResNet(nn.Module):
     frozen_stages: int = 1        # 1 => stem + layer1 frozen (mmcv meaning)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     stem_space_to_depth: bool = True
-    # opt-in: ops/stem_pool.py fused Pallas stem. Interpret-mode parity
-    # is tested, but on this image's axon stack its Mosaic compile hangs
-    # the remote-compile service (the 16-way lane concat is the likely
-    # culprit) — keep it off until a TPU-validated build exists.
+    # opt-in: ops/stem_pool.py fused Pallas stem on the s2d4 form
+    # (stem_conv_pool_s2d4_pallas: 9 accumulated K=48 taps — avoids the
+    # 16-way 12-lane concat of the original _stem_kernel that wedges
+    # this image's remote Mosaic compile service). Exact interpret-mode
+    # parity with the XLA s2d4 composition.
     stem_fused_kernel: bool = False
     # int8 PTQ on the bottleneck convs (models/quant.py); the stem stays
     # in the compute dtype (tiny, and its s2d4 form is already fast)
@@ -150,8 +151,8 @@ class ResNet(nn.Module):
             # on v5e, identical numerics). Params keep the exact tree
             # paths of the module form (conv1/kernel, bn1/..), so
             # checkpoints are interchangeable.
-            from ..ops.stem_pool import (stem_conv_pool_pallas,
-                                         stem_conv_pool_s2d4)
+            from ..ops.stem_pool import (stem_conv_pool_s2d4,
+                                         stem_conv_pool_s2d4_pallas)
             x = space_to_depth_2x(x)
             conv1 = self.param(
                 'conv1', lambda k: {'kernel': nn.initializers.lecun_normal()(
@@ -174,8 +175,8 @@ class ResNet(nn.Module):
                     (x, kern, inv, off))
                 x = jax.lax.platform_dependent(
                     x, kern, inv, off,
-                    tpu=stem_conv_pool_pallas,
-                    default=stem_conv_pool_reference).astype(self.dtype)
+                    tpu=stem_conv_pool_s2d4_pallas,
+                    default=stem_conv_pool_s2d4).astype(self.dtype)
             else:
                 x = stem_conv_pool_s2d4(
                     x, kern, inv, off, dtype=self.dtype,

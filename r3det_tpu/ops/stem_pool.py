@@ -366,3 +366,126 @@ def stem_conv_pool_reference(x12, kernel, scale, bias,
     for s in slices[1:]:
         out = jnp.maximum(out, s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused s2d4 stem kernel: conv3x3(48->256) + affine + ReLU + blocked
+# maxpool in ONE pass (the round-3 TPU candidate).
+# ---------------------------------------------------------------------------
+
+S4_TH = 8           # pooled cell rows per grid step
+
+
+def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
+                      sem, *, wc):
+    """One grid step: pooled cell rows [i0, i0+S4_TH) x full width.
+
+    x_hbm: (B, H+3, W+2, 48) zero-padded s2d4 input (2 rows top, 1
+    bottom, 1 col each side) in HBM; the band for step p covers padded
+    rows [S4_TH*p, S4_TH*p + S4_TH+3) — conv rows [i0-1, i0+S4_TH)
+    with their 3x3 halo.
+    w_ref: (9, 48, 256) taps (ky*3+kx); scale/bias: (1, 256) folded
+    affine tiled over the 4 subpixel groups.
+
+    The 3x3 conv accumulates 9 K=48 matmuls (no wide lane concat — the
+    16-way 12-lane concat in _stem_kernel is the known Mosaic
+    pathology); the 3x3-s2 maxpool on the 2x2 block-structured output
+    needs only channel-group slices, one column shift and one row
+    shift, all in registers.
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    t1 = S4_TH + 1
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(S4_TH * p, S4_TH + 3)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    x = xbuf[:]                                 # (TH+3, W+2, 48)
+
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            xs = x[ky:ky + t1, kx:kx + wc, :]   # (T1, W, 48)
+            part = jax.lax.dot_general(
+                xs, w_ref[ky * 3 + kx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (T1, W, 256)
+            acc = part if acc is None else acc + part
+    y = acc * scale_ref[0] + bias_ref[0]
+    y = jnp.maximum(y, 0.0)                     # (T1, W, 256)
+
+    # conv row index 0 of the band is absolute cell row i0-1; at p == 0
+    # that row is outside the image: the reference pool pads with -inf
+    # there (NOT conv-of-zeros)
+    neg = jnp.float32(-jnp.inf)
+    first_abs = S4_TH * p - 1
+    row_ids = first_abs + jax.lax.broadcasted_iota(
+        jnp.int32, (t1, wc, 256), 0)
+    y = jnp.where(row_ids >= 0, y, neg)
+
+    # channel layout: oo = (dy*2+dx)*64 + o  (fold_stem_kernel_s2d4)
+    s00 = y[:, :, 0:64]
+    s01 = y[:, :, 64:128]
+    s10 = y[:, :, 128:192]
+    s11 = y[:, :, 192:256]
+    cell = jnp.maximum(jnp.maximum(s00, s01), jnp.maximum(s10, s11))
+
+    colpad = jnp.full((t1, 1, 64), neg, y.dtype)
+
+    def left1(t):                               # value at cell col j-1
+        return jnp.concatenate([colpad, t[:, :-1, :]], axis=1)
+
+    # out(i,j) = max( cell(i,j), s11(i-1,j-1), s10(i-1,j), s11(i-1,j),
+    #                 s01(i,j-1), s11(i,j-1) ); band row k=0 is i0-1
+    s11_l = left1(s11)
+    out = jnp.maximum(cell[1:], jnp.maximum(s11_l[:-1], s10[:-1]))
+    out = jnp.maximum(out, s11[:-1])
+    out = jnp.maximum(out, left1(s01)[1:])
+    out = jnp.maximum(out, s11_l[1:])
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
+    """Fused stem on the s2d4 form. Same signature/semantics as
+    stem_conv_pool_s2d4 (f32 accumulation; bf16 data) up to fp
+    reassociation of the 9-tap sum. Returns (B, H/4, W/4, 64) for the
+    (B, H/2, W/2, 12) s2d2 input.
+    """
+    b, h, w, cin = x12.shape
+    assert cin == CIN and h % 4 == 0 and w % 4 == 0, x12.shape
+    x48 = x12.reshape(b, h // 2, 2, w // 2, 2, cin).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+    hc, wc = h // 2, w // 2
+    assert hc % S4_TH == 0, (hc, S4_TH)
+    xp = jnp.pad(x48.astype(jnp.bfloat16),
+                 ((0, 0), (2, 1), (1, 1), (0, 0)))
+    k3 = fold_stem_kernel_s2d4(kernel)                  # (3, 3, 48, 256)
+    w9 = k3.reshape(9, 4 * CIN, 4 * COUT).astype(jnp.bfloat16)
+    scale4 = jnp.tile(scale.reshape(1, -1), (4, 1)).reshape(1, -1)
+    bias4 = jnp.tile(bias.reshape(1, -1), (4, 1)).reshape(1, -1)
+
+    grid = (b, hc // S4_TH)
+    out = pl.pallas_call(
+        functools.partial(_stem_s2d4_kernel, wc=wc),
+        out_shape=jax.ShapeDtypeStruct((b, hc, wc, COUT), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # manual DMA
+            pl.BlockSpec((9, 4 * CIN, 4 * COUT), lambda bb, pp: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * COUT), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S4_TH, wc, COUT),
+                               lambda bb, pp: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((S4_TH + 3, wc + 2, 4 * CIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w9, scale4.astype(jnp.float32), bias4.astype(jnp.float32))
+    return out

@@ -74,3 +74,23 @@ def test_stem_kernel_grouped_matches_reference_interpret():
                                                    interpret=True),
                      np.float32)
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_s2d4_pallas_kernel_parity():
+    """Fused s2d4 stem kernel (interpret) == XLA s2d4 composition,
+    including the top-row -inf pool edge and multiple grid steps."""
+    import numpy as np
+    from r3det_tpu.ops.stem_pool import (stem_conv_pool_s2d4,
+                                         stem_conv_pool_s2d4_pallas)
+    rng = np.random.RandomState(7)
+    x12 = jnp.asarray(rng.randn(2, 64, 32, 12).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(4, 4, 12, 64).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = stem_conv_pool_s2d4(x12, k, s, b)
+    out = stem_conv_pool_s2d4_pallas(x12, k, s, b, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=1e-2)
