@@ -108,3 +108,32 @@ def test_quantized_eval_loop_runs(tmp_path):
                                batch_size=2)
     assert len(results) == 2
     assert all(len(per) == cfg.num_classes for per in results)
+
+
+def test_qconv_bf16_output_matches_int32_path():
+    """bf16 models emit the conv result directly as bf16 (in-register
+    int32 accumulation, models/quant.py) — must agree with the exact
+    s32 path within bf16 rounding."""
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.normal(0, 1, (2, 16, 16, 32)).astype(np.float32))
+    q32 = QConv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                dtype=jnp.float32)
+    qbf = QConv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                dtype=jnp.bfloat16)
+    v = q32.init(jax.random.PRNGKey(0), x)
+    y32 = q32.apply(v, x)
+    ybf = qbf.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    rel = float(jnp.abs(y32 - ybf).max() / (jnp.abs(y32).max() + 1e-9))
+    assert rel < 0.02, rel                  # bf16 rounding only
+
+
+def test_frm_convs_quantize_with_backbone_flag():
+    """DetectorConfig.quantize reaches the FRM branch convs (round-3):
+    the quant_stats collection grows frm conv scales and the quantized
+    forward tracks the float model."""
+    cfg = TINY._replace(quantize=True)
+    m = build_detector(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    frm_qs = v['quant_stats']['frm_0']
+    assert set(frm_qs) == {'conv_1_5', 'conv_5_1', 'conv_1_1'}, frm_qs
