@@ -53,7 +53,13 @@ def run(batch, size=1024, iters=12, quantize=False):
     cfg = R3DET_R50_V1._replace(
         stacked_convs=2, quantize=q, quantize_head=q,
         test=TestCfg(approx_topk=True, nms_candidates=2000))
-    model = build_detector(cfg, dtype=jnp.bfloat16)
+    # BENCH_FUSED_STEM=1 opts into the fused s2d4 stem Pallas kernel
+    # (ops/stem_pool.py) — kept off the default serving path until its
+    # Mosaic compile has been validated against this image's remote
+    # compile service (see PARITY.md remote-compile fragility notes)
+    fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
+    model = build_detector(cfg, dtype=jnp.bfloat16,
+                           stem_fused_kernel=fused_stem)
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —

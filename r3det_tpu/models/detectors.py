@@ -154,12 +154,14 @@ class RRetinaNet(nn.Module):
     """Backbone + FPN + rotated retina head. Forward only."""
     cfg: DetectorConfig
     dtype: Any = jnp.bfloat16
+    stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(depth=self.cfg.backbone_depth,
                        frozen_stages=self.cfg.frozen_stages,
                        quantize=self.cfg.quantize,
+                       stem_fused_kernel=self.stem_fused_kernel,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=self.cfg.feat_channels,
                     quantize=self.cfg.quantize, dtype=self.dtype,
@@ -187,6 +189,7 @@ class R3Det(nn.Module):
     # compose the FRM's 1x5+5x1+1x1 convs into one 5x5 at trace time
     # (models/frm.py fuse_convs: same params/math, one HBM pass)
     frm_fuse_convs: bool = False
+    stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
 
     @nn.compact
     def __call__(self, images):
@@ -194,6 +197,7 @@ class R3Det(nn.Module):
         feats = ResNet(depth=cfg.backbone_depth,
                        frozen_stages=cfg.frozen_stages,
                        quantize=cfg.quantize,
+                       stem_fused_kernel=self.stem_fused_kernel,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=cfg.feat_channels,
                     quantize=cfg.quantize, dtype=self.dtype,
@@ -232,7 +236,7 @@ class R3Det(nn.Module):
 def build_detector(cfg: DetectorConfig, dtype=jnp.bfloat16, **kwargs):
     if cfg.num_refine_stages > 0:
         return R3Det(cfg=cfg, dtype=dtype, **kwargs)
-    return RRetinaNet(cfg=cfg, dtype=dtype)
+    return RRetinaNet(cfg=cfg, dtype=dtype, **kwargs)
 
 
 # ---------------------------------------------------------------------------
