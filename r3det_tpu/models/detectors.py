@@ -155,6 +155,7 @@ class RRetinaNet(nn.Module):
     cfg: DetectorConfig
     dtype: Any = jnp.bfloat16
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
+    fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
 
     @nn.compact
     def __call__(self, images):
@@ -162,6 +163,7 @@ class RRetinaNet(nn.Module):
                        frozen_stages=self.cfg.frozen_stages,
                        quantize=self.cfg.quantize,
                        stem_fused_kernel=self.stem_fused_kernel,
+                       fused_blocks=self.fused_blocks,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=self.cfg.feat_channels,
                     quantize=self.cfg.quantize, dtype=self.dtype,
@@ -190,6 +192,7 @@ class R3Det(nn.Module):
     # (models/frm.py fuse_convs: same params/math, one HBM pass)
     frm_fuse_convs: bool = False
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
+    fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
 
     @nn.compact
     def __call__(self, images):
@@ -198,6 +201,7 @@ class R3Det(nn.Module):
                        frozen_stages=cfg.frozen_stages,
                        quantize=cfg.quantize,
                        stem_fused_kernel=self.stem_fused_kernel,
+                       fused_blocks=self.fused_blocks,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=cfg.feat_channels,
                     quantize=cfg.quantize, dtype=self.dtype,

@@ -49,10 +49,14 @@ class FrozenBN(nn.Module):
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck, 'pytorch style' (stride on the
     3x3), matching torchvision/mmcv ResNet. ``quantize`` swaps the convs
-    for int8 PTQ QConv (models/quant.py) — same param tree."""
+    for int8 PTQ QConv (models/quant.py) — same param tree. ``fused``
+    routes identity-residual stride-1 blocks through the resident
+    Pallas kernel (ops/bottleneck_fuse.py) on TPU — inference-only (no
+    VJP), bf16, exact-BN-fold numerics; param tree unchanged."""
     features: int                 # bottleneck width; out = features * 4
     stride: int = 1
     quantize: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,18 +64,66 @@ class Bottleneck(nn.Module):
         from .quant import conv_factory
         Conv = conv_factory(self.quantize)
         residual = x
-        y = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                 name='conv1')(x)
-        y = FrozenBN(self.features, dtype=self.dtype, name='bn1')(y)
+        conv1 = Conv(self.features, (1, 1), use_bias=False,
+                     dtype=self.dtype, name='conv1')
+        bn1 = FrozenBN(self.features, dtype=self.dtype, name='bn1')
+        conv2 = Conv(self.features, (3, 3),
+                     strides=(self.stride, self.stride),
+                     padding=[(1, 1), (1, 1)], use_bias=False,
+                     dtype=self.dtype, name='conv2')
+        bn2 = FrozenBN(self.features, dtype=self.dtype, name='bn2')
+        conv3 = Conv(self.features * 4, (1, 1), use_bias=False,
+                     dtype=self.dtype, name='conv3')
+        bn3 = FrozenBN(self.features * 4, dtype=self.dtype, name='bn3')
+
+        can_fuse = (self.fused and self.stride == 1
+                    and residual.shape[-1] == self.features * 4
+                    and x.shape[1] % 8 == 0)
+        if can_fuse:
+            # bind the submodules on dummies so the param tree (and
+            # checkpoints, incl. int8 quant_stats) stays identical to
+            # the unfused form, then read kernels and fold BN exactly
+            f = self.features
+            d4 = jnp.zeros((1, 8, 8, 4 * f), self.dtype)
+            bn3(conv3(bn2(conv2(bn1(conv1(d4))))))
+            from ..ops.bottleneck_fuse import fold_bn, fused_bottleneck
+
+            def folded(conv, bn):
+                k = conv.variables['params']['kernel'].astype(jnp.float32)
+                p = bn.variables['params']
+                s = bn.variables['batch_stats']
+                return fold_bn(k, p['scale'], p['bias'],
+                               s['mean'], s['var'])
+
+            w1, b1 = folded(conv1, bn1)
+            w2, b2 = folded(conv2, bn2)
+            w3, b3 = folded(conv3, bn3)
+
+            def xla_ref(x, w1, b1, w2, b2, w3, b3):
+                # non-TPU branch: same folded math as the kernel
+                def c(x, w, b, pad):
+                    y = jax.lax.conv_general_dilated(
+                        x, w.astype(x.dtype), (1, 1), pad,
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                        preferred_element_type=jnp.float32)
+                    return y + b
+                y = nn.relu(c(x, w1, b1, 'SAME').astype(x.dtype))
+                y = nn.relu(c(y, w2, b2, [(1, 1), (1, 1)]).astype(x.dtype))
+                y = c(y, w3, b3, 'SAME')
+                return nn.relu(y + x.astype(jnp.float32)).astype(x.dtype)
+
+            return jax.lax.platform_dependent(
+                x.astype(jnp.bfloat16), w1, b1, w2, b2, w3, b3,
+                tpu=fused_bottleneck, default=xla_ref).astype(self.dtype)
+
+        y = conv1(x)
+        y = bn1(y)
         y = nn.relu(y)
-        y = Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                 padding=[(1, 1), (1, 1)], use_bias=False,
-                 dtype=self.dtype, name='conv2')(y)
-        y = FrozenBN(self.features, dtype=self.dtype, name='bn2')(y)
+        y = conv2(y)
+        y = bn2(y)
         y = nn.relu(y)
-        y = Conv(self.features * 4, (1, 1), use_bias=False,
-                 dtype=self.dtype, name='conv3')(y)
-        y = FrozenBN(self.features * 4, dtype=self.dtype, name='bn3')(y)
+        y = conv3(y)
+        y = bn3(y)
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
             residual = Conv(self.features * 4, (1, 1),
                             strides=(self.stride, self.stride),
@@ -132,6 +184,9 @@ class ResNet(nn.Module):
     # int8 PTQ on the bottleneck convs (models/quant.py); the stem stays
     # in the compute dtype (tiny, and its s2d4 form is already fast)
     quantize: bool = False
+    # route stride-1 identity blocks through the resident Pallas
+    # bottleneck kernel (ops/bottleneck_fuse.py) — inference-only
+    fused_blocks: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -198,7 +253,8 @@ class ResNet(nn.Module):
             for blk in range(num_blocks):
                 stride = 2 if (blk == 0 and stage > 0) else 1
                 x = Bottleneck(widths[stage], stride=stride,
-                               quantize=self.quantize, dtype=self.dtype,
+                               quantize=self.quantize,
+                               fused=self.fused_blocks, dtype=self.dtype,
                                name=f'layer{stage + 1}_{blk}')(x)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

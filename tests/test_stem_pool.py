@@ -94,3 +94,54 @@ def test_s2d4_pallas_kernel_parity():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0, atol=1e-2)
+
+
+def test_fused_bottleneck_kernel_parity():
+    """ops/bottleneck_fuse.py interpret == the plain XLA bottleneck
+    (exact BN fold; bf16 data, f32 accumulation)."""
+    import numpy as np
+    from r3det_tpu.models.resnet import Bottleneck
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.normal(0, 1, (2, 16, 24, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    mod = Bottleneck(16, stride=1, dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    # non-trivial BN stats
+    v = {'params': v['params'],
+         'batch_stats': jax.tree.map(
+             lambda a: a + jnp.asarray(
+                 np.abs(r.normal(0, 0.3, a.shape)).astype(np.float32)),
+             v['batch_stats'])}
+    ref = mod.apply(v, x)
+
+    from r3det_tpu.ops.bottleneck_fuse import fold_bn, fused_bottleneck
+    p, s = v['params'], v['batch_stats']
+    w1, b1 = fold_bn(p['conv1']['kernel'], p['bn1']['scale'],
+                     p['bn1']['bias'], s['bn1']['mean'], s['bn1']['var'])
+    w2, b2 = fold_bn(p['conv2']['kernel'], p['bn2']['scale'],
+                     p['bn2']['bias'], s['bn2']['mean'], s['bn2']['var'])
+    w3, b3 = fold_bn(p['conv3']['kernel'], p['bn3']['scale'],
+                     p['bn3']['bias'], s['bn3']['mean'], s['bn3']['var'])
+    out = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=0.05)
+
+
+def test_fused_flag_same_tree_and_output():
+    """Bottleneck(fused=True) keeps the param tree and matches the
+    unfused forward (CPU takes the XLA branch of platform_dependent)."""
+    import numpy as np
+    from r3det_tpu.models.resnet import Bottleneck
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.normal(0, 1, (1, 16, 16, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    m0 = Bottleneck(16, stride=1, dtype=jnp.bfloat16)
+    m1 = Bottleneck(16, stride=1, fused=True, dtype=jnp.bfloat16)
+    v0 = m0.init(jax.random.PRNGKey(1), x)
+    v1 = m1.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v0) == \
+        jax.tree_util.tree_structure(v1)
+    y0 = np.asarray(m0.apply(v0, x), np.float32)
+    y1 = np.asarray(jax.jit(m1.apply)(v0, x), np.float32)
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=0.05)
