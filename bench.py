@@ -53,13 +53,16 @@ def run(batch, size=1024, iters=12, quantize=False):
     cfg = R3DET_R50_V1._replace(
         stacked_convs=2, quantize=q, quantize_head=q,
         test=TestCfg(approx_topk=True, nms_candidates=2000))
-    # BENCH_FUSED_STEM=1 opts into the fused s2d4 stem Pallas kernel
-    # (ops/stem_pool.py) — kept off the default serving path until its
-    # Mosaic compile has been validated against this image's remote
-    # compile service (see PARITY.md remote-compile fragility notes)
+    # BENCH_FUSED_STEM=1 / BENCH_FUSED_BLOCKS=1 opt into the fused
+    # Pallas stem / resident bottleneck kernels — kept off the default
+    # serving path until their Mosaic compiles have been validated
+    # against this image's remote compile service (see PARITY.md
+    # remote-compile fragility notes)
     fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
+    fused_blocks = os.environ.get('BENCH_FUSED_BLOCKS') == '1'
     model = build_detector(cfg, dtype=jnp.bfloat16,
-                           stem_fused_kernel=fused_stem)
+                           stem_fused_kernel=fused_stem,
+                           fused_blocks=fused_blocks)
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —
