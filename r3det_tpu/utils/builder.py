@@ -104,8 +104,12 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
     return cfg
 
 
-def build_from_config(cfg, dtype=None):
-    """Config (utils.config.Config or dict) -> (flax model, DetectorConfig)."""
+def build_from_config(cfg, dtype=None, **model_kwargs):
+    """Config (utils.config.Config or dict) -> (flax model, DetectorConfig).
+
+    ``model_kwargs`` forward to build_detector (e.g. the serving-only
+    ``stem_fused_kernel`` / ``fused_blocks`` Pallas-kernel flags).
+    """
     import jax.numpy as jnp
     cfg_dict = cfg.to_dict() if hasattr(cfg, 'to_dict') else dict(cfg)
     model_d = cfg_dict['model']
@@ -120,5 +124,6 @@ def build_from_config(cfg, dtype=None):
     test_cfg = Config._merge(dict(model_d.get('test_cfg') or {}),
                              dict(cfg_dict.get('test_cfg') or {}))
     det_cfg = detector_config_from_dict(model_d, train_cfg, test_cfg)
-    model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16)
+    model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16,
+                           **model_kwargs)
     return model, det_cfg

@@ -33,6 +33,9 @@ def parse_args():
                    help='with quantize_int8 models: freeze per-conv '
                         'activation scales from N dataset batches before '
                         'inference (default: dynamic scales)')
+    p.add_argument('--fused-kernels', action='store_true',
+                   help='serving-only fused Pallas kernels (stem + '
+                        'stride-1 bottlenecks); inference graphs only')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -50,7 +53,9 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
-    model, det_cfg = build_from_config(cfg)
+    model, det_cfg = build_from_config(
+        cfg, stem_fused_kernel=args.fused_kernels,
+        fused_blocks=args.fused_kernels)
 
     # evaluate whatever split the config's test dict points at, like the
     # reference (/root/reference/tools/test.py:108-236) — point data.test
