@@ -145,3 +145,28 @@ def test_fused_flag_same_tree_and_output():
     y0 = np.asarray(m0.apply(v0, x), np.float32)
     y1 = np.asarray(jax.jit(m1.apply)(v0, x), np.float32)
     np.testing.assert_allclose(y1, y0, rtol=0, atol=0.05)
+
+
+def test_fused_flags_full_detector_cpu():
+    """R3Det with stem_fused_kernel+fused_blocks (+int8 config) builds,
+    keeps the quantized param tree, and runs the non-TPU branches."""
+    import numpy as np
+    from r3det_tpu.models.detectors import (DetectorConfig, StageTrainCfg,
+                                            build_detector)
+    cfg = DetectorConfig(
+        num_classes=3, stacked_convs=1, feat_channels=32,
+        backbone_depth=50, num_refine_stages=1, stage_loss_weights=(1.0,),
+        quantize='static', quantize_head='static',
+        s0_train=StageTrainCfg(0.5, 0.4, 0.0, 'v1'),
+        sr_train=(StageTrainCfg(0.6, 0.5, 0.0, None),))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    m0 = build_detector(cfg, dtype=jnp.bfloat16)
+    m1 = build_detector(cfg, dtype=jnp.bfloat16, stem_fused_kernel=True,
+                        fused_blocks=True)
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == \
+        jax.tree_util.tree_structure(v1)
+    out = jax.jit(m1.apply)(v1, x)
+    for lvl in out['s0'][0]:
+        assert np.isfinite(np.asarray(lvl, np.float32)).all()
