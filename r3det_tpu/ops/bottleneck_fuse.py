@@ -39,22 +39,41 @@ BTL_TH = 8      # output rows per grid step
 
 
 def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                out_ref, xbuf, sem, *, wc):
+                out_ref, xbuf, sems, *, wc):
     """One band: out rows [r0, r0+TH) x full width of one image.
 
     x_hbm: (B, H+2, W+2, C4) zero-padded input; band = padded rows
     [r0, r0+TH+2) — the out rows plus the 3x3 halo ring.
     w1: (C4, F) b1: (1, F); w2: (9, F, F) taps (ky*3+kx) b2: (1, F);
     w3: (F, C4) b3: (1, C4). All BN-folded bf16, f32 biases.
+
+    Band DMAs double-buffer across grid steps (see _stem_s2d4_kernel).
     """
     b = pl.program_id(0)
     p = pl.program_id(1)
+    np_ = pl.num_programs(1)
     th = BTL_TH
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(th * p, th + 2)], xbuf, sem)
-    cp.start()
-    cp.wait()
-    x = xbuf[:]                                  # (TH+2, W+2, C4)
+    flat = b * np_ + p
+    slot = jax.lax.rem(flat, 2)
+    nslot = jax.lax.rem(flat + 1, 2)
+
+    def band_copy(fl, sl):
+        bb = fl // np_
+        pp = jax.lax.rem(fl, np_)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(th * pp, th + 2)],
+            xbuf.at[sl], sems.at[sl])
+
+    @pl.when(flat == 0)
+    def _():
+        band_copy(flat, slot).start()
+
+    @pl.when(flat + 1 < pl.num_programs(0) * np_)
+    def _():
+        band_copy(flat + 1, nslot).start()
+
+    band_copy(flat, slot).wait()
+    x = xbuf[slot]                               # (TH+2, W+2, C4)
 
     # conv1 (1x1) + bn1 + relu over the full band (conv2 needs the halo)
     a1 = jax.lax.dot_general(x, w1_ref[:], (((2,), (0,)), ((), ())),
@@ -126,8 +145,8 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
                                lambda bb, pp: (bb, pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BTL_TH + 2, w + 2, c4), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, BTL_TH + 2, w + 2, c4), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w1m, b1.reshape(1, f).astype(jnp.float32), w2m,

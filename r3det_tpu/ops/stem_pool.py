@@ -377,7 +377,7 @@ S4_TH = 8           # pooled cell rows per grid step
 
 
 def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
-                      sem, *, wc):
+                      sems, *, wc):
     """One grid step: pooled cell rows [i0, i0+S4_TH) x full width.
 
     x_hbm: (B, H+3, W+2, 48) zero-padded s2d4 input (2 rows top, 1
@@ -392,15 +392,36 @@ def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
     pathology); the 3x3-s2 maxpool on the 2x2 block-structured output
     needs only channel-group slices, one column shift and one row
     shift, all in registers.
+
+    Band DMAs are double-buffered across grid steps (scratch persists
+    on TPU): step i waits on the copy step i-1 started for it and
+    prefetches step i+1's band, so the HBM read overlaps compute.
     """
     b = pl.program_id(0)
     p = pl.program_id(1)
+    np_ = pl.num_programs(1)
     t1 = S4_TH + 1
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(S4_TH * p, S4_TH + 3)], xbuf, sem)
-    cp.start()
-    cp.wait()
-    x = xbuf[:]                                 # (TH+3, W+2, 48)
+    flat = b * np_ + p
+    slot = jax.lax.rem(flat, 2)
+    nslot = jax.lax.rem(flat + 1, 2)
+
+    def band_copy(fl, sl):
+        bb = fl // np_
+        pp = jax.lax.rem(fl, np_)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(S4_TH * pp, S4_TH + 3)],
+            xbuf.at[sl], sems.at[sl])
+
+    @pl.when(flat == 0)
+    def _():
+        band_copy(flat, slot).start()
+
+    @pl.when(flat + 1 < pl.num_programs(0) * np_)
+    def _():
+        band_copy(flat + 1, nslot).start()
+
+    band_copy(flat, slot).wait()
+    x = xbuf[slot]                              # (TH+3, W+2, 48)
 
     acc = None
     for ky in range(3):
@@ -483,8 +504,8 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
                                lambda bb, pp: (bb, pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((S4_TH + 3, wc + 2, 4 * CIN), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, S4_TH + 3, wc + 2, 4 * CIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w9, scale4.astype(jnp.float32), bias4.astype(jnp.float32))
