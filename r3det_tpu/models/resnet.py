@@ -76,9 +76,11 @@ class Bottleneck(nn.Module):
                      dtype=self.dtype, name='conv3')
         bn3 = FrozenBN(self.features * 4, dtype=self.dtype, name='bn3')
 
+        # features cap: at F=512 (layer4) the BN-folded weights alone are
+        # ~9 MB bf16, blowing the ~16 MB VMEM budget with band + accum
         can_fuse = (self.fused and self.stride == 1
                     and residual.shape[-1] == self.features * 4
-                    and x.shape[1] % 8 == 0)
+                    and x.shape[1] % 8 == 0 and self.features <= 256)
         if can_fuse:
             # bind the submodules on dummies so the param tree (and
             # checkpoints, incl. int8 quant_stats) stays identical to
