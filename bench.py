@@ -140,22 +140,29 @@ _INT8_ONLY = [(32, True), (48, True), (16, True), (8, True)]
 
 
 def _wait_for_tunnel(max_wait_s=900):
-    """The axon tunnel + remote-compile service wedge for 20-45 min at
-    a time (machine-wide; they self-heal). A benchmark started during a
+    """The axon tunnel + remote-compile service wedge for hours at a
+    time (machine-wide; they self-heal). A benchmark started during a
     wedge records 0.0 — probe with a tiny matmul+fetch and wait out a
-    bad phase before burning the attempt ladder."""
+    bad phase before burning the attempt ladder.
+
+    The probe MUST be a subprocess: during a wedge the axon plugin
+    hangs inside backend *initialization* (a C call that never returns
+    to the interpreter), so an in-process SIGALRM would never fire —
+    and the main process must not touch jax before health is confirmed.
+    """
+    import subprocess
+    probe = ("import numpy as np\nimport jax.numpy as jnp\n"
+             "x = jnp.ones((128, 128))\n"
+             "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n")
     deadline = time.monotonic() + max_wait_s
     while True:
         try:
-            signal.alarm(90)
-            import jax.numpy as jnp
-            x = jnp.ones((128, 128))
-            ok = float(np.asarray(x @ x)[0, 0]) == 128.0
-            signal.alarm(0)
-            if ok:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               timeout=120, capture_output=True)
+            if r.returncode == 0:
                 return True
-        except Exception:
-            signal.alarm(0)
+        except subprocess.TimeoutExpired:
+            pass
         if time.monotonic() > deadline:
             print('tunnel probe never succeeded; benching anyway',
                   file=sys.stderr)
