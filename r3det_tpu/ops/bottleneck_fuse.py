@@ -117,7 +117,12 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
     bsz, h, w, c4 = x.shape
     f = w1.shape[-1]
     assert h % BTL_TH == 0, (h, BTL_TH)
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic requires the band DMA's slice extent along the sublane dim
+    # (dim 2 of the HBM memref) to be 8-aligned; round the padded width
+    # up and let the kernel ignore the extra zero columns.
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
     w1m = w1.reshape(c4, f).astype(jnp.bfloat16)
     w2m = w2.transpose(0, 1, 2, 3).reshape(9, f, f).astype(jnp.bfloat16)
     w3m = w3.reshape(f, c4).astype(jnp.bfloat16)
@@ -145,7 +150,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
                                lambda bb, pp: (bb, pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BTL_TH + 2, w + 2, c4), jnp.bfloat16),
+            pltpu.VMEM((2, BTL_TH + 2, wp, c4), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

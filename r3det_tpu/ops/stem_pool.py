@@ -451,10 +451,13 @@ def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
     s11 = y[:, :, 192:256]
     cell = jnp.maximum(jnp.maximum(s00, s01), jnp.maximum(s10, s11))
 
-    colpad = jnp.full((t1, 1, 64), neg, y.dtype)
+    # column shift as a rotate + mask: Mosaic cannot concatenate
+    # vectors whose non-concat lane offsets disagree (s01/s11 are lane
+    # slices at offset 64), but tpu.dynamic_rotate handles any layout
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t1, wc, 64), 1)
 
     def left1(t):                               # value at cell col j-1
-        return jnp.concatenate([colpad, t[:, :-1, :]], axis=1)
+        return jnp.where(col_ids >= 1, pltpu.roll(t, 1, 1), neg)
 
     # out(i,j) = max( cell(i,j), s11(i-1,j-1), s10(i-1,j), s11(i-1,j),
     #                 s01(i,j-1), s11(i,j-1) ); band row k=0 is i0-1
@@ -479,10 +482,19 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
         0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
     hc, wc = h // 2, w // 2
     assert hc % S4_TH == 0, (hc, S4_TH)
+    # Mosaic requires the band DMA's slice extents to align with the
+    # (8, 128) memref tiling: round the padded width up to 8 and the
+    # channel count up to a full 128 lanes (HBM already stores 48
+    # channels physically padded to 128, so the explicit zero-pad adds
+    # no bytes — it just makes the padded lanes defined zeros that the
+    # zero weight rows annihilate).
+    wp = -(-(wc + 2) // 8) * 8
+    ck = -(-(4 * CIN) // 128) * 128
     xp = jnp.pad(x48.astype(jnp.bfloat16),
-                 ((0, 0), (2, 1), (1, 1), (0, 0)))
+                 ((0, 0), (2, 1), (1, wp - wc - 1), (0, ck - 4 * CIN)))
     k3 = fold_stem_kernel_s2d4(kernel)                  # (3, 3, 48, 256)
-    w9 = k3.reshape(9, 4 * CIN, 4 * COUT).astype(jnp.bfloat16)
+    w9 = jnp.pad(k3.reshape(9, 4 * CIN, 4 * COUT),
+                 ((0, 0), (0, ck - 4 * CIN), (0, 0))).astype(jnp.bfloat16)
     scale4 = jnp.tile(scale.reshape(1, -1), (4, 1)).reshape(1, -1)
     bias4 = jnp.tile(bias.reshape(1, -1), (4, 1)).reshape(1, -1)
 
@@ -493,7 +505,7 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # manual DMA
-            pl.BlockSpec((9, 4 * CIN, 4 * COUT), lambda bb, pp: (0, 0, 0),
+            pl.BlockSpec((9, ck, 4 * COUT), lambda bb, pp: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * COUT), lambda bb, pp: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -504,7 +516,7 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
                                lambda bb, pp: (bb, pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, S4_TH + 3, wc + 2, 4 * CIN), jnp.bfloat16),
+            pltpu.VMEM((2, S4_TH + 3, wp, ck), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
