@@ -88,7 +88,9 @@ class Bottleneck(nn.Module):
             f = self.features
             d4 = jnp.zeros((1, 8, 8, 4 * f), self.dtype)
             bn3(conv3(bn2(conv2(bn1(conv1(d4))))))
-            from ..ops.bottleneck_fuse import fold_bn, fused_bottleneck
+            from ..ops.bottleneck_fuse import (
+                fold_bn, fused_bottleneck, fused_bottleneck_q8,
+                fused_bottleneck_q8_xla)
 
             def folded(conv, bn):
                 k = conv.variables['params']['kernel'].astype(jnp.float32)
@@ -100,6 +102,19 @@ class Bottleneck(nn.Module):
             w1, b1 = folded(conv1, bn1)
             w2, b2 = folded(conv2, bn2)
             w3, b3 = folded(conv3, bn3)
+
+            if self.quantize == 'static':
+                # int8 resident kernel: calibrated QConv act ranges
+                # (quant_stats) + BN-folded per-channel weight quant.
+                # Calibration itself must run with fused_blocks=False
+                # (the kernel consumes the scales, it can't record them).
+                amax = [c.variables['quant_stats']['act_absmax']
+                        for c in (conv1, conv2, conv3)]
+                return jax.lax.platform_dependent(
+                    x.astype(jnp.bfloat16), w1, b1, w2, b2, w3, b3,
+                    amax[0], amax[1], amax[2],
+                    tpu=fused_bottleneck_q8,
+                    default=fused_bottleneck_q8_xla).astype(self.dtype)
 
             def xla_ref(x, w1, b1, w2, b2, w3, b3):
                 # non-TPU branch: same folded math as the kernel
@@ -228,12 +243,18 @@ class ResNet(nn.Module):
                 # stem is frozen in every shipped config: cut gradients
                 # BEFORE the platform dispatch so autodiff never tries to
                 # JVP the pallas branch (it has no derivative rule)
+                import functools
+                q = bool(self.quantize)
                 x, kern, inv, off = jax.lax.stop_gradient(
                     (x, kern, inv, off))
                 x = jax.lax.platform_dependent(
                     x, kern, inv, off,
-                    tpu=stem_conv_pool_s2d4_pallas,
-                    default=stem_conv_pool_s2d4).astype(self.dtype)
+                    tpu=functools.partial(stem_conv_pool_s2d4_pallas,
+                                          quantize=q),
+                    default=functools.partial(stem_conv_pool_s2d4,
+                                              dtype=self.dtype,
+                                              quantize=q)).astype(
+                                                  self.dtype)
             else:
                 x = stem_conv_pool_s2d4(
                     x, kern, inv, off, dtype=self.dtype,

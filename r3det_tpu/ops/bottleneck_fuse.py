@@ -38,6 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 BTL_TH = 8      # output rows per grid step
 
 
+def _band_valid(p, shape, wc):
+    """(TH+2, wp, F) mask: True where the band cell maps to a real image
+    pixel. Band row k is absolute image row p*TH - 1 + k; column j is
+    image column j - 1 (one halo/pad column each side, plus alignment
+    padding on the right)."""
+    h = BTL_TH * pl.num_programs(1)
+    rows = BTL_TH * p - 1 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) - 1
+    return (rows >= 0) & (rows < h) & (cols >= 0) & (cols < wc)
+
+
 def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 out_ref, xbuf, sems, *, wc):
     """One band: out rows [r0, r0+TH) x full width of one image.
@@ -79,6 +90,10 @@ def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     a1 = jax.lax.dot_general(x, w1_ref[:], (((2,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     a1 = jnp.maximum(a1 + b1_ref[0], 0.0).astype(x.dtype)
+    # conv2's SAME padding must see ZEROS outside the image, not
+    # conv1-of-zero-pad (= relu(b1)): zero the halo ring where the
+    # band row/col falls outside the real image
+    a1 = jnp.where(_band_valid(p, a1.shape, wc), a1, 0)
 
     # conv2 (3x3) + bn2 + relu: nine accumulated K=F taps
     acc = None
@@ -95,6 +110,77 @@ def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     y = jax.lax.dot_general(a2, w3_ref[:], (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b3_ref[0]
+    res = x[1:th + 1, 1:wc + 1, :].astype(jnp.float32)
+    out_ref[0] = jnp.maximum(y + res, 0.0).astype(out_ref.dtype)
+
+
+def _q8(v, inv):
+    """Symmetric int8 quantization of an f32 vector, in registers."""
+    return jnp.clip(jnp.round(v * inv), -127.0, 127.0).astype(jnp.int8)
+
+
+def _btl_kernel_q8(x_hbm, inv_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                   b2_ref, w3_ref, s3_ref, b3_ref, out_ref, xbuf, sems, *,
+                   wc):
+    """int8 variant of _btl_kernel: the band stays bf16 in VMEM (the
+    residual needs it anyway), each conv input is quantized in
+    registers with its calibrated static scale (inv_ref SMEM row:
+    [1/ascale1, 1/ascale2, 1/ascale3, 0]), the matmuls run int8 x int8
+    -> exact int32 on the MXU, and sN_ref carries the combined
+    (ascaleN * per-channel weight scale) dequant factor. The int8 grids
+    match the unfused QConv path's (models/quant.py) up to BN folding:
+    folding the per-channel BN factor into the weights BEFORE
+    per-output-channel quantization absorbs it exactly, so the
+    calibrated activation ranges transfer unchanged.
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    th = BTL_TH
+    flat = b * np_ + p
+    slot = jax.lax.rem(flat, 2)
+    nslot = jax.lax.rem(flat + 1, 2)
+
+    def band_copy(fl, sl):
+        bb = fl // np_
+        pp = jax.lax.rem(fl, np_)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(th * pp, th + 2)],
+            xbuf.at[sl], sems.at[sl])
+
+    @pl.when(flat == 0)
+    def _():
+        band_copy(flat, slot).start()
+
+    @pl.when(flat + 1 < pl.num_programs(0) * np_)
+    def _():
+        band_copy(flat + 1, nslot).start()
+
+    band_copy(flat, slot).wait()
+    x = xbuf[slot]                               # (TH+2, W+2, C4) bf16
+
+    xi = _q8(x.astype(jnp.float32), inv_ref[0, 0])
+    a1 = jax.lax.dot_general(xi, w1_ref[:], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    a1 = jnp.maximum(a1.astype(jnp.float32) * s1_ref[0] + b1_ref[0], 0.0)
+    # see _btl_kernel: conv2's SAME padding must see zeros, not relu(b1)
+    a1 = jnp.where(_band_valid(p, a1.shape, wc), a1, 0.0)
+
+    a1i = _q8(a1, inv_ref[0, 1])
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            xs = a1i[ky:ky + th, kx:kx + wc, :]
+            part = jax.lax.dot_general(
+                xs, w2_ref[ky * 3 + kx], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+    a2 = jnp.maximum(acc.astype(jnp.float32) * s2_ref[0] + b2_ref[0], 0.0)
+
+    a2i = _q8(a2, inv_ref[0, 2])
+    y = jax.lax.dot_general(a2i, w3_ref[:], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s3_ref[0] + b3_ref[0]
     res = x[1:th + 1, 1:wc + 1, :].astype(jnp.float32)
     out_ref[0] = jnp.maximum(y + res, 0.0).astype(out_ref.dtype)
 
@@ -158,3 +244,122 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
       b2.reshape(1, f).astype(jnp.float32), w3m,
       b3.reshape(1, c4).astype(jnp.float32))
     return out
+
+
+def _wq(w):
+    """Per-output-channel symmetric int8 weight quantization (f32
+    (..., co) -> int8 + (co,) f32 scale) — models/quant.py scheme on
+    the BN-folded kernel."""
+    axes = tuple(range(w.ndim - 1))
+    wmax = jnp.max(jnp.abs(w), axis=axes)
+    s = jnp.maximum(wmax, 1e-8) / 127.0
+    wi = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return wi, s
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_bottleneck_q8(x, w1, b1, w2, b2, w3, b3, amax1, amax2, amax3,
+                        interpret=False):
+    """int8 serving variant of fused_bottleneck.
+
+    x (B, H, W, C4) bf16; wN/bN BN-folded f32 weights/biases
+    (fold_bn); amaxN the calibrated activation absmax of conv N's
+    input (QConv quant_stats 'act_absmax'). Per-output-channel weight
+    quantization happens here at trace time — folding BN before
+    quantizing absorbs the per-channel BN factor into the weight scale
+    exactly, so the same calibration serves both the fused and unfused
+    int8 paths.
+    """
+    bsz, h, w, c4 = x.shape
+    f = w1.shape[-1]
+    assert h % BTL_TH == 0, (h, BTL_TH)
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    w1i, ks1 = _wq(w1.reshape(c4, f).astype(jnp.float32))
+    w2i, ks2 = _wq(w2.reshape(9, f, f).astype(jnp.float32))
+    w3i, ks3 = _wq(w3.reshape(f, c4).astype(jnp.float32))
+    a1 = jnp.maximum(amax1, 1e-8) / 127.0
+    a2 = jnp.maximum(amax2, 1e-8) / 127.0
+    a3 = jnp.maximum(amax3, 1e-8) / 127.0
+    inv = jnp.stack([1.0 / a1, 1.0 / a2, 1.0 / a3,
+                     jnp.zeros_like(a1)]).reshape(1, 4).astype(jnp.float32)
+    grid = (bsz, h // BTL_TH)
+    out = pl.pallas_call(
+        functools.partial(_btl_kernel_q8, wc=w),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c4), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # manual DMA
+            pl.BlockSpec((1, 4), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((c4, f), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, f, f), lambda bb, pp: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, c4), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c4), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c4), lambda bb, pp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BTL_TH, w, c4),
+                               lambda bb, pp: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, BTL_TH + 2, wp, c4), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, inv,
+      w1i, (a1 * ks1).reshape(1, f).astype(jnp.float32),
+      b1.reshape(1, f).astype(jnp.float32),
+      w2i, (a2 * ks2).reshape(1, f).astype(jnp.float32),
+      b2.reshape(1, f).astype(jnp.float32),
+      w3i, (a3 * ks3).reshape(1, c4).astype(jnp.float32),
+      b3.reshape(1, c4).astype(jnp.float32))
+    return out
+
+
+def fused_bottleneck_q8_xla(x, w1, b1, w2, b2, w3, b3, amax1, amax2,
+                            amax3):
+    """XLA composition with the exact quantization grids of
+    fused_bottleneck_q8 — the non-TPU platform_dependent branch and the
+    parity oracle (int32 accumulation is exact, so the two differ only
+    in f32 epilogue rounding)."""
+    bsz, h, w, c4 = x.shape
+    f = w1.shape[-1]
+    w1i, ks1 = _wq(w1.reshape(c4, f).astype(jnp.float32))
+    w2i, ks2 = _wq(w2.astype(jnp.float32))               # (3,3,f,f)
+    w3i, ks3 = _wq(w3.reshape(f, c4).astype(jnp.float32))
+    a1 = jnp.maximum(amax1, 1e-8) / 127.0
+    a2 = jnp.maximum(amax2, 1e-8) / 127.0
+    a3 = jnp.maximum(amax3, 1e-8) / 127.0
+
+    # quantize with the SAME reciprocal multiply as the kernel (x * inv
+    # and x / a round differently at .5 grid boundaries)
+    xf = x.astype(jnp.float32)
+    xi = _q8(xf, 1.0 / a1)
+    y = jnp.einsum('bhwc,cf->bhwf', xi.astype(jnp.int32),
+                   w1i.astype(jnp.int32))
+    y = jnp.maximum(y.astype(jnp.float32) * (a1 * ks1) + b1, 0.0)
+    yi = _q8(y, 1.0 / a2)
+    y = jax.lax.conv_general_dilated(
+        yi, w2i.reshape(3, 3, f, f), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    y = jnp.maximum(y.astype(jnp.float32) * (a2 * ks2) + b2, 0.0)
+    yi = _q8(y, 1.0 / a3)
+    y = jnp.einsum('bhwf,fc->bhwc', yi.astype(jnp.int32),
+                   w3i.astype(jnp.int32))
+    y = y.astype(jnp.float32) * (a3 * ks3) + b3
+    return jnp.maximum(y + xf, 0.0).astype(jnp.bfloat16)

@@ -423,6 +423,10 @@ def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
     band_copy(flat, slot).wait()
     x = xbuf[slot]                              # (TH+3, W+2, 48)
 
+    # int8 band (serving PTQ): int8 x int8 -> exact int32 MXU
+    # accumulation; the (1, 256) scale row carries the combined
+    # dequant * folded-BN factor so the epilogue below is unchanged
+    acc_t = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
     acc = None
     for ky in range(3):
         for kx in range(3):
@@ -430,9 +434,9 @@ def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
             part = jax.lax.dot_general(
                 xs, w_ref[ky * 3 + kx],
                 (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (T1, W, 256)
+                preferred_element_type=acc_t)   # (T1, W, 256)
             acc = part if acc is None else acc + part
-    y = acc * scale_ref[0] + bias_ref[0]
+    y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
     y = jnp.maximum(y, 0.0)                     # (T1, W, 256)
 
     # conv row index 0 of the band is absolute cell row i0-1; at p == 0
@@ -469,12 +473,20 @@ def _stem_s2d4_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
+@functools.partial(jax.jit, static_argnames=('interpret', 'quantize'))
+def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False,
+                               quantize=False):
     """Fused stem on the s2d4 form. Same signature/semantics as
     stem_conv_pool_s2d4 (f32 accumulation; bf16 data) up to fp
     reassociation of the 9-tap sum. Returns (B, H/4, W/4, 64) for the
     (B, H/2, W/2, 12) s2d2 input.
+
+    ``quantize``: symmetric int8 PTQ, the same scheme as the
+    stem_conv_pool_s2d4 quantize branch (per-output-channel weight
+    scales on the folded kernel, dynamic per-tensor activation scale) —
+    but the int8 matmuls, dequant, affine, ReLU and maxpool all stay in
+    one VMEM-resident pass, so the s32/bf16 conv accumulator never
+    round-trips HBM and the band reads are int8 (half the bytes).
     """
     b, h, w, cin = x12.shape
     assert cin == CIN and h % 4 == 0 and w % 4 == 0, x12.shape
@@ -483,20 +495,37 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
     hc, wc = h // 2, w // 2
     assert hc % S4_TH == 0, (hc, S4_TH)
     # Mosaic requires the band DMA's slice extents to align with the
-    # (8, 128) memref tiling: round the padded width up to 8 and the
-    # channel count up to a full 128 lanes (HBM already stores 48
-    # channels physically padded to 128, so the explicit zero-pad adds
-    # no bytes — it just makes the padded lanes defined zeros that the
-    # zero weight rows annihilate).
-    wp = -(-(wc + 2) // 8) * 8
+    # memref tiling — (8, 128) bf16, (32, 128) int8: round the padded
+    # width up to the sublane tile and the channel count up to a full
+    # 128 lanes (HBM already stores 48 channels physically padded to
+    # 128, so the explicit zero-pad adds no bytes — it just makes the
+    # padded lanes defined zeros that the zero weight rows annihilate).
+    wp = -(-(wc + 2) // (32 if quantize else 8)) * (32 if quantize else 8)
     ck = -(-(4 * CIN) // 128) * 128
-    xp = jnp.pad(x48.astype(jnp.bfloat16),
-                 ((0, 0), (2, 1), (1, wp - wc - 1), (0, ck - 4 * CIN)))
     k3 = fold_stem_kernel_s2d4(kernel)                  # (3, 3, 48, 256)
-    w9 = jnp.pad(k3.reshape(9, 4 * CIN, 4 * COUT),
-                 ((0, 0), (0, ck - 4 * CIN), (0, 0))).astype(jnp.bfloat16)
     scale4 = jnp.tile(scale.reshape(1, -1), (4, 1)).reshape(1, -1)
     bias4 = jnp.tile(bias.reshape(1, -1), (4, 1)).reshape(1, -1)
+    if quantize:
+        k3 = k3.astype(jnp.float32)
+        kmax = jnp.max(jnp.abs(k3), axis=(0, 1, 2))          # (256,)
+        kscale = jnp.maximum(kmax, 1e-8) / 127.0
+        ki = jnp.clip(jnp.round(k3 / kscale), -127, 127).astype(jnp.int8)
+        x32 = x48.astype(jnp.float32)
+        ascale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(x32 / ascale), -127, 127).astype(jnp.int8)
+        xp = jnp.pad(xi, ((0, 0), (2, 1), (1, wp - wc - 1),
+                          (0, ck - 4 * CIN)))
+        w9 = jnp.pad(ki.reshape(9, 4 * CIN, 4 * COUT),
+                     ((0, 0), (0, ck - 4 * CIN), (0, 0)))
+        scale4 = scale4 * (ascale * kscale).reshape(1, -1)
+        band_t = jnp.int8
+    else:
+        xp = jnp.pad(x48.astype(jnp.bfloat16),
+                     ((0, 0), (2, 1), (1, wp - wc - 1), (0, ck - 4 * CIN)))
+        w9 = jnp.pad(k3.reshape(9, 4 * CIN, 4 * COUT),
+                     ((0, 0), (0, ck - 4 * CIN), (0, 0))).astype(
+                         jnp.bfloat16)
+        band_t = jnp.bfloat16
 
     grid = (b, hc // S4_TH)
     out = pl.pallas_call(
@@ -516,7 +545,7 @@ def stem_conv_pool_s2d4_pallas(x12, kernel, scale, bias, interpret=False):
                                lambda bb, pp: (bb, pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, S4_TH + 3, wp, ck), jnp.bfloat16),
+            pltpu.VMEM((2, S4_TH + 3, wp, ck), band_t),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

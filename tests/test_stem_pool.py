@@ -170,3 +170,102 @@ def test_fused_flags_full_detector_cpu():
     out = jax.jit(m1.apply)(v1, x)
     for lvl in out['s0'][0]:
         assert np.isfinite(np.asarray(lvl, np.float32)).all()
+
+
+def test_s2d4_pallas_kernel_parity_int8():
+    """Fused s2d4 stem kernel int8 path (interpret) == the XLA int8
+    quantize branch (same per-channel weight / per-tensor activation
+    grids; the kernel keeps exact int32 accumulation while the XLA
+    branch emits bf16, hence the tolerance)."""
+    import numpy as np
+    from r3det_tpu.ops.stem_pool import (stem_conv_pool_s2d4,
+                                         stem_conv_pool_s2d4_pallas)
+    rng = np.random.RandomState(11)
+    x12 = jnp.asarray(rng.randn(2, 64, 32, 12).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(4, 4, 12, 64).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = stem_conv_pool_s2d4(x12, k, s, b, quantize=True)
+    out = stem_conv_pool_s2d4_pallas(x12, k, s, b, interpret=True,
+                                     quantize=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=5e-2)
+
+
+def test_fused_bottleneck_q8_kernel_parity():
+    """int8 fused bottleneck (interpret) == its XLA oracle with the
+    same quantization grids (int32 accumulation is exact, so only f32
+    epilogue rounding differs), and both land within PTQ error of the
+    bf16 block."""
+    import numpy as np
+    from r3det_tpu.ops.bottleneck_fuse import (
+        fold_bn, fused_bottleneck, fused_bottleneck_q8,
+        fused_bottleneck_q8_xla)
+    r = np.random.RandomState(5)
+    f, c4 = 16, 64
+    x = jnp.asarray(r.normal(0, 1, (2, 16, 24, c4)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w1 = jnp.asarray(r.normal(0, 0.1, (1, 1, c4, f)).astype(np.float32))
+    b1 = jnp.asarray(r.normal(0, 0.1, (f,)).astype(np.float32))
+    w2 = jnp.asarray(r.normal(0, 0.1, (3, 3, f, f)).astype(np.float32))
+    b2 = jnp.asarray(r.normal(0, 0.1, (f,)).astype(np.float32))
+    w3 = jnp.asarray(r.normal(0, 0.1, (1, 1, f, c4)).astype(np.float32))
+    b3 = jnp.asarray(r.normal(0, 0.1, (c4,)).astype(np.float32))
+    # calibrated ranges = true maxima of the bf16 intermediates
+    xf = np.asarray(x, np.float32)
+    a1 = jnp.asarray(np.abs(xf).max())
+    ref_bf16 = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=True)
+
+    def mid_maxima():
+        y = np.maximum(np.einsum(
+            'bhwc,cf->bhwf', xf, np.asarray(w1, np.float32)[0, 0])
+            + np.asarray(b1, np.float32), 0)
+        import jax.numpy as jn
+        y2 = jax.lax.conv_general_dilated(
+            jn.asarray(y), w2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        y2 = np.maximum(np.asarray(y2) + np.asarray(b2, np.float32), 0)
+        return np.abs(y).max(), np.abs(y2).max()
+
+    m1, m2 = mid_maxima()
+    a2 = jnp.asarray(m1)
+    a3 = jnp.asarray(m2)
+    out = fused_bottleneck_q8(x, w1, b1, w2, b2, w3, b3, a1, a2, a3,
+                              interpret=True)
+    oracle = fused_bottleneck_q8_xla(x, w1, b1, w2, b2, w3, b3, a1, a2, a3)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(oracle, np.float32),
+                               rtol=0, atol=2e-2)
+    # PTQ error vs the bf16 block stays bounded
+    d = np.abs(np.asarray(out, np.float32) -
+               np.asarray(ref_bf16, np.float32))
+    ref_mag = np.abs(np.asarray(ref_bf16, np.float32)).max()
+    assert d.max() <= 0.15 * max(ref_mag, 1.0), (d.max(), ref_mag)
+
+
+def test_bottleneck_q8_static_routes_fused():
+    """Bottleneck(quantize='static', fused=True) on CPU runs the q8 XLA
+    oracle branch and matches the unfused QConv static path within PTQ
+    tolerance (BN folding moves the weight grids slightly)."""
+    import numpy as np
+    from r3det_tpu.models.resnet import Bottleneck
+    r = np.random.RandomState(6)
+    x = jnp.asarray(r.normal(0, 1, (1, 16, 16, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    m0 = Bottleneck(16, stride=1, quantize='static', dtype=jnp.bfloat16)
+    v0 = m0.init(jax.random.PRNGKey(2), x)
+    # calibrate: one mutable pass records act_absmax
+    _, mut = m0.apply(v0, x, mutable=['quant_stats'])
+    v0 = {**v0, 'quant_stats': mut['quant_stats']}
+    m1 = Bottleneck(16, stride=1, quantize='static', fused=True,
+                    dtype=jnp.bfloat16)
+    assert jax.tree_util.tree_structure(m1.init(jax.random.PRNGKey(2), x)
+                                        ) == jax.tree_util.tree_structure(
+                                            {k: v for k, v in v0.items()})
+    y0 = np.asarray(m0.apply(v0, x), np.float32)
+    y1 = np.asarray(jax.jit(m1.apply)(v0, x), np.float32)
+    np.testing.assert_allclose(y1, y0, rtol=0,
+                               atol=0.1 * max(np.abs(y0).max(), 1.0))
