@@ -60,9 +60,11 @@ def run(batch, size=1024, iters=12, quantize=False):
     # remote-compile fragility notes)
     fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
     fused_blocks = os.environ.get('BENCH_FUSED_BLOCKS') == '1'
+    pool_kernel = os.environ.get('BENCH_POOL_KERNEL', '1') == '1'
     model = build_detector(cfg, dtype=jnp.bfloat16,
                            stem_fused_kernel=fused_stem,
-                           fused_blocks=fused_blocks)
+                           fused_blocks=fused_blocks,
+                           stem_pool_kernel=pool_kernel)
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —

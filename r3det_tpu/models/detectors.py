@@ -156,6 +156,7 @@ class RRetinaNet(nn.Module):
     dtype: Any = jnp.bfloat16
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
     fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
+    stem_pool_kernel: bool = False      # pallas stem-pool band kernel
 
     @nn.compact
     def __call__(self, images):
@@ -164,6 +165,7 @@ class RRetinaNet(nn.Module):
                        quantize=self.cfg.quantize,
                        stem_fused_kernel=self.stem_fused_kernel,
                        fused_blocks=self.fused_blocks,
+                       stem_pool_kernel=self.stem_pool_kernel,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=self.cfg.feat_channels,
                     quantize=self.cfg.quantize, dtype=self.dtype,
@@ -193,6 +195,7 @@ class R3Det(nn.Module):
     frm_fuse_convs: bool = False
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
     fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
+    stem_pool_kernel: bool = False      # pallas stem-pool band kernel
 
     @nn.compact
     def __call__(self, images):
@@ -202,6 +205,7 @@ class R3Det(nn.Module):
                        quantize=cfg.quantize,
                        stem_fused_kernel=self.stem_fused_kernel,
                        fused_blocks=self.fused_blocks,
+                       stem_pool_kernel=self.stem_pool_kernel,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=cfg.feat_channels,
                     quantize=cfg.quantize, dtype=self.dtype,

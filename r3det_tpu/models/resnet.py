@@ -204,6 +204,10 @@ class ResNet(nn.Module):
     # route stride-1 identity blocks through the resident Pallas
     # bottleneck kernel (ops/bottleneck_fuse.py) — inference-only
     fused_blocks: bool = False
+    # pallas band kernel for ONLY the stem's blocked maxpool (keeps the
+    # XLA int8 conv on the MXU int8 path; ops/stem_pool.py::
+    # pool_s2d4_pallas). Orthogonal to stem_fused_kernel.
+    stem_pool_kernel: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -258,7 +262,8 @@ class ResNet(nn.Module):
             else:
                 x = stem_conv_pool_s2d4(
                     x, kern, inv, off, dtype=self.dtype,
-                    quantize=bool(self.quantize)).astype(self.dtype)
+                    quantize=bool(self.quantize),
+                    pool_kernel=self.stem_pool_kernel).astype(self.dtype)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=False,

@@ -276,7 +276,7 @@ def fold_stem_kernel_s2d4(kernel):
 
 
 def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16,
-                        quantize=False):
+                        quantize=False, pool_kernel=False):
     """XLA-only fused-stem alternative: fold the 12-channel stem once
     more (space-to-depth(2) again -> 48 channels) so the conv becomes a
     lane-friendly K=432 -> 256 contraction, then max-pool on the 2x2
@@ -326,6 +326,19 @@ def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16,
     y = y * scale4 + bias4
     y = jnp.maximum(y, 0.0).astype(dtype)
     hc, wc = h // 2, w // 2
+    if (pool_kernel and dtype == jnp.bfloat16 and wc % 8 == 0
+            and hc % S4_TH == 0):
+        # the XLA blocked pool materializes its shifted max chain;
+        # the band kernel is one bf16 read + one bf16 write
+        return jax.lax.platform_dependent(
+            y, tpu=pool_s2d4_pallas, default=_pool_s2d4_xla)
+    return _pool_s2d4_xla(y)
+
+
+def _pool_s2d4_xla(y):
+    """XLA tail of stem_conv_pool_s2d4: blocked 3x3/s2 maxpool on the
+    (2,2)-block-structured conv output (B, hc, wc, 4*COUT)."""
+    b, hc, wc, _ = y.shape
     u = y.reshape(b, hc, wc, 2, 2, COUT)
     neg = jnp.asarray(-jnp.inf, u.dtype)
     up = jnp.pad(u, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0), (0, 0)),
@@ -339,6 +352,102 @@ def stem_conv_pool_s2d4(x12, kernel, scale, bias, dtype=jnp.bfloat16,
         jnp.maximum(colmax[:, 0:hc, :, 1], colmax[:, 1:hc + 1, :, 0]),
         colmax[:, 1:hc + 1, :, 1])              # (B, hc, wc, C)
     return out
+
+
+def _pool_s2d4_kernel(y_hbm, out_ref, ybuf, sems, *, wc):
+    """Pool-only band kernel on the (2,2)-block-structured conv output
+    y (B, hc, wc, 256): out rows [i0, i0+TH) need y rows [i0-1, i0+TH)
+    (top halo only — the 3x3/s2 window reads cell rows i-1 and i).
+
+    Two DMAs per band (the main TH rows + the single halo row; a halo
+    row at absolute -1 cannot be sliced, so row 0 of the buffer is
+    filled with -inf at the image top instead), double-buffered across
+    grid steps. Pure VPU work: the XLA blocked pool costs ~half the
+    measured stem time because its shifted max chain materializes
+    full-size intermediates; here one bf16 read + one bf16 write.
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    th = S4_TH
+    flat = b * np_ + p
+    slot = jax.lax.rem(flat, 2)
+    nslot = jax.lax.rem(flat + 1, 2)
+
+    def copies(fl, sl):
+        bb = fl // np_
+        pp = jax.lax.rem(fl, np_)
+        main = pltpu.make_async_copy(
+            y_hbm.at[bb, pl.ds(th * pp, th)],
+            ybuf.at[sl, pl.ds(1, th)], sems.at[sl, 0])
+        # halo row i0-1; at pp == 0 read row 0 (dead: overwritten with
+        # -inf below) to keep the slice in bounds
+        hsrc = jax.lax.max(th * pp - 1, 0)
+        halo = pltpu.make_async_copy(
+            y_hbm.at[bb, pl.ds(hsrc, 1)],
+            ybuf.at[sl, pl.ds(0, 1)], sems.at[sl, 1])
+        return main, halo
+
+    @pl.when(flat == 0)
+    def _():
+        for c in copies(flat, slot):
+            c.start()
+
+    @pl.when(flat + 1 < pl.num_programs(0) * np_)
+    def _():
+        for c in copies(flat + 1, nslot):
+            c.start()
+
+    for c in copies(flat, slot):
+        c.wait()
+
+    y = ybuf[slot].astype(jnp.float32)          # (TH+1, wc, 256)
+    neg = jnp.float32(-jnp.inf)
+    first_abs = th * p - 1
+    row_ids = first_abs + jax.lax.broadcasted_iota(
+        jnp.int32, (th + 1, wc, 256), 0)
+    y = jnp.where(row_ids >= 0, y, neg)
+
+    s00 = y[:, :, 0:64]
+    s01 = y[:, :, 64:128]
+    s10 = y[:, :, 128:192]
+    s11 = y[:, :, 192:256]
+    cell = jnp.maximum(jnp.maximum(s00, s01), jnp.maximum(s10, s11))
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (th + 1, wc, 64), 1)
+
+    def left1(t):                               # value at cell col j-1
+        return jnp.where(col_ids >= 1, pltpu.roll(t, 1, 1), neg)
+
+    s11_l = left1(s11)
+    out = jnp.maximum(cell[1:], jnp.maximum(s11_l[:-1], s10[:-1]))
+    out = jnp.maximum(out, s11[:-1])
+    out = jnp.maximum(out, left1(s01)[1:])
+    out = jnp.maximum(out, s11_l[1:])
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def pool_s2d4_pallas(y, interpret=False):
+    """Blocked 3x3/s2 maxpool on the s2d4 conv output y (B, hc, wc,
+    256; channel groups (dy*2+dx)*64+o) -> (B, hc, wc, 64). Matches the
+    XLA pool tail of stem_conv_pool_s2d4 exactly (pure max ops)."""
+    b, hc, wc, c = y.shape
+    assert c == 4 * COUT and hc % S4_TH == 0 and wc % 8 == 0, y.shape
+    grid = (b, hc // S4_TH)
+    return pl.pallas_call(
+        functools.partial(_pool_s2d4_kernel, wc=wc),
+        out_shape=jax.ShapeDtypeStruct((b, hc, wc, COUT), y.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, S4_TH, wc, COUT),
+                               lambda bb, pp: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, S4_TH + 1, wc, 4 * COUT), y.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(y)
 
 
 def stem_conv_pool_reference(x12, kernel, scale, bias,

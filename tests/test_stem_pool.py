@@ -269,3 +269,40 @@ def test_bottleneck_q8_static_routes_fused():
     y1 = np.asarray(jax.jit(m1.apply)(v0, x), np.float32)
     np.testing.assert_allclose(y1, y0, rtol=0,
                                atol=0.1 * max(np.abs(y0).max(), 1.0))
+
+
+def test_pool_s2d4_pallas_parity():
+    """Pool-only band kernel (interpret) == the XLA blocked-pool tail,
+    including the -inf top edge, across several grid steps."""
+    import numpy as np
+    from r3det_tpu.ops.stem_pool import _pool_s2d4_xla, pool_s2d4_pallas
+    rng = np.random.RandomState(13)
+    y = jnp.asarray(rng.randn(2, 32, 16, 256).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ref = _pool_s2d4_xla(y)
+    out = pool_s2d4_pallas(y, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_stem_s2d4_pool_kernel_flag_cpu():
+    """stem_conv_pool_s2d4(pool_kernel=True) on CPU routes the XLA pool
+    branch and equals the default path exactly."""
+    import numpy as np
+    from r3det_tpu.ops.stem_pool import stem_conv_pool_s2d4
+    rng = np.random.RandomState(14)
+    x12 = jnp.asarray(rng.randn(1, 64, 32, 12).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(4, 4, 12, 64).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    # jit both sides: the dynamic int8 activation scale rounds
+    # differently eager-vs-jit (fusion choice), which is orthogonal
+    # to the pool dispatch under test here
+    a = jax.jit(lambda *t: stem_conv_pool_s2d4(
+        *t, quantize=True))(x12, k, s, b)
+    c = jax.jit(lambda *t: stem_conv_pool_s2d4(
+        *t, quantize=True, pool_kernel=True))(x12, k, s, b)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(c, np.float32))
