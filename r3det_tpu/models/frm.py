@@ -63,11 +63,17 @@ def bilinear_sample(feat, py, px):
 
 
 def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
-                          transpose_quirk=True):
+                          transpose_quirk=True, sample_kernel=False):
     """FR op for one level: feat (B, H, W, C), best_bboxes (B, H*W, 5).
 
     Returns feat + sum of bilinear samples at the box points (the CUDA
     kernel's ``output_val = input + sum(samples)``).
+
+    sample_kernel=True routes the points=1 center sample through the
+    banded Pallas stencil kernel (ops/frm_sample.py) instead of the flat
+    XLA gather — same values (fp reassociation only; the gather path
+    also rounds corner weights to feat dtype, the kernel keeps f32),
+    ~10x less sample time on v5e.
     """
     b, h, w, c = feat.shape
     cx = best_bboxes[..., 0] * spatial_scale
@@ -77,6 +83,23 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
         row0, col0 = cx, cy
     else:
         row0, col0 = cy, cx
+    # the band kernel's row-coherence assumption needs a square map
+    # under the transpose quirk (sample row ~ column index); fall back
+    # to the gather on non-square levels
+    if sample_kernel and points == 1 and (h == w or not transpose_quirk):
+        from ..ops.frm_sample import bilinear_sample_band
+        rowg = row0.reshape(b, h, w)
+        colg = col0.reshape(b, h, w)
+        if transpose_quirk:
+            # sample row ~= cx/stride ~= the position's COLUMN index:
+            # band coherence holds in the transposed grid
+            rowg = rowg.transpose(0, 2, 1)
+            colg = colg.transpose(0, 2, 1)
+        ins = jnp.ones(rowg.shape, bool)
+        val, _ = bilinear_sample_band(feat, rowg, colg, ins)
+        if transpose_quirk:
+            val = val.transpose(0, 2, 1, 3)
+        return feat + val
     acc = bilinear_sample(feat, row0, col0).reshape(b, h, w, c)
     if points == 5:
         bw = best_bboxes[..., 2] * spatial_scale
@@ -111,6 +134,9 @@ class FeatureRefineModule(nn.Module):
     featmap_strides: Sequence[int] = (8, 16, 32, 64, 128)
     points: int = 1
     transpose_quirk: bool = True
+    # route the points=1 sample through the banded Pallas stencil
+    # kernel (ops/frm_sample.py) instead of the flat XLA gather
+    sample_kernel: bool = False
     # compose conv_5_1 o conv_1_5 + conv_1_1 into ONE 5x5 conv per level
     # (all three are linear, no activation between them — r3det's
     # feature_refine_module.py:66-127): K5[dy,dx,ci,co] =
@@ -174,6 +200,7 @@ class FeatureRefineModule(nn.Module):
             scale = 1.0 / stride
 
             refined = feature_refine_sample(
-                feat, rois[lvl], scale, self.points, self.transpose_quirk)
+                feat, rois[lvl], scale, self.points, self.transpose_quirk,
+                sample_kernel=self.sample_kernel)
             out.append(x + refined)
         return tuple(out)
