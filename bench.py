@@ -61,10 +61,15 @@ def run(batch, size=1024, iters=12, quantize=False):
     fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
     fused_blocks = os.environ.get('BENCH_FUSED_BLOCKS') == '1'
     pool_kernel = os.environ.get('BENCH_POOL_KERNEL', '1') == '1'
+    # BENCH_FRM_KERNEL=1 routes the FRM bilinear sample through the
+    # banded Pallas stencil kernel (ops/frm_sample.py) instead of the
+    # row-latency-bound flat gather (~34 ms/b32 measured)
+    frm_kernel = os.environ.get('BENCH_FRM_KERNEL') == '1'
     model = build_detector(cfg, dtype=jnp.bfloat16,
                            stem_fused_kernel=fused_stem,
                            fused_blocks=fused_blocks,
-                           stem_pool_kernel=pool_kernel)
+                           stem_pool_kernel=pool_kernel,
+                           frm_sample_kernel=frm_kernel)
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —

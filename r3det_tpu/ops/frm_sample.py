@@ -52,29 +52,28 @@ def _sample_kernel(dy0, dy1, dx0, dx1, w00, w01, w10, w11, feat_hbm,
     v00, v01 = w00[0], w01[0]                     # (Tm, G1) f32
     v10, v11 = w10[0], w11[0]
     cp.wait()
+    # unconditional masked FMA per shift: a data-dependent skip
+    # (`pl.when(jnp.any(m != 0))`) measured SLOWER e2e on v5e — the
+    # (2R+1)^2 vector->scalar reductions + predicated branches per
+    # invocation cost more than the skipped FMAs save at R<=2
     for u in range(-R, R + 1):
         my0 = d0 == u
         my1 = d1 == u
-        if True:  # keep loop body flat; per-(u,v) runtime skip below
-            for v in range(-R, R + 1):
-                mx0 = e0 == v
-                mx1 = e1 == v
-                m = (jnp.where(my0 & mx0, v00, 0.0)
-                     + jnp.where(my0 & mx1, v01, 0.0)
-                     + jnp.where(my1 & mx0, v10, 0.0)
-                     + jnp.where(my1 & mx1, v11, 0.0))
-                hit = jnp.any(m != 0.0)
-
-                @pl.when(hit)
-                def _(m=m, u=u, v=v):
-                    sl = xbuf[R + u:R + u + Tm, R + v:R + v + G1, :]
-                    acc[...] += m[:, :, None] * sl.astype(jnp.float32)
+        for v in range(-R, R + 1):
+            mx0 = e0 == v
+            mx1 = e1 == v
+            m = (jnp.where(my0 & mx0, v00, 0.0)
+                 + jnp.where(my0 & mx1, v01, 0.0)
+                 + jnp.where(my1 & mx0, v10, 0.0)
+                 + jnp.where(my1 & mx1, v11, 0.0))
+            sl = xbuf[R + u:R + u + Tm, R + v:R + v + G1, :]
+            acc[...] += m[:, :, None] * sl.astype(jnp.float32)
     out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('window', 'outlier_budget',
                                              'interpret'))
-def bilinear_sample_band(feat, py, px, inside, window=4,
+def bilinear_sample_band(feat, py, px, inside, window=2,
                          outlier_budget=None, interpret=False):
     """Bilinear-sample `feat` at per-grid-cell points, band-kernel style.
 

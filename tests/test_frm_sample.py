@@ -42,11 +42,21 @@ def test_band_sample_in_window(h, w):
     feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     py, px = _grids(rng, b, h, w, spread=2.5)
     ins = jnp.ones((b, h, w), bool)
+    # spread 2.5 -> corners up to +-3.5 from the cell: inside a window=4
+    # stencil (no correction), but the default window=2 must still be
+    # value-exact via the budgeted correction gather
     val, n_out = bilinear_sample_band(feat, jnp.asarray(py),
-                                      jnp.asarray(px), ins,
+                                      jnp.asarray(px), ins, window=4,
                                       interpret=True)
     assert int(n_out) == 0
     np.testing.assert_allclose(np.asarray(val), _ref(feat, py, px),
+                               rtol=1e-5, atol=1e-5)
+    val2, n_out2 = bilinear_sample_band(feat, jnp.asarray(py),
+                                        jnp.asarray(px), ins,
+                                        outlier_budget=4096,
+                                        interpret=True)
+    assert int(n_out2) > 0
+    np.testing.assert_allclose(np.asarray(val2), _ref(feat, py, px),
                                rtol=1e-5, atol=1e-5)
 
 
