@@ -162,11 +162,14 @@ class DOTADataset:
     # Evaluation
     # ------------------------------------------------------------------
 
-    def evaluate(self, results, iou_thr=0.5, use_07_metric=True,
+    def evaluate(self, results, iou_thr=0.5, use_07_metric=False,
                  logger=print, nproc=None):
         """results: list (per image) of per-class (n, 6) det arrays.
 
         Returns dict with mAP + per-class AP. Parity: dota1.py:162-207.
+        AP interpolation defaults to 'area' mode — the reference's
+        eval_map computes area AP for every dataset except voc07
+        (dota1.py:419-420); 11-point is an opt-in (use_07_metric=True).
         """
         annotations = [d['ann'] for d in self.data_infos]
         mean_ap, per_cls = eval_rbbox_map(
@@ -344,10 +347,13 @@ def _class_ap(c, results, annotations, iou_thr, version, use_07_metric):
 
 
 def eval_rbbox_map(results, annotations, iou_thr=0.5, version='v1',
-                   use_07_metric=True, class_names=DOTA10_CLASSES,
+                   use_07_metric=False, class_names=DOTA10_CLASSES,
                    logger=print, nproc=None):
     """DOTA mAP. results[i][c] = (n, 6) dets; annotations[i] has
     'bboxes'/'labels'/'polygons'. Parity: dota1.py eval_map:324-449.
+    Defaults to 'area' AP like the reference (dota1.py:419-420:
+    ``mode = 'area' if dataset != 'voc07'``); use_07_metric=True opts
+    into 11-point interpolation.
 
     nproc: per-class TP/FP matching fans out over a fork Pool (the
     reference parallelizes the same loop, dota1.py:376-388). Defaults to

@@ -85,8 +85,12 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
         row0, col0 = cy, cx
     # the band kernel's row-coherence assumption needs a square map
     # under the transpose quirk (sample row ~ column index); fall back
-    # to the gather on non-square levels
-    if sample_kernel and points == 1 and (h == w or not transpose_quirk):
+    # to the gather on non-square levels. Levels narrower than one
+    # 128-lane vector register also stay on the gather — the kernel
+    # pads W up to 128 lanes, so at W<128 it wastes the VPU while the
+    # flat gather's row count (W^2) is already small.
+    if (sample_kernel and points == 1 and w >= 128
+            and (h == w or not transpose_quirk)):
         from ..ops.frm_sample import bilinear_sample_band
         rowg = row0.reshape(b, h, w)
         colg = col0.reshape(b, h, w)

@@ -2,7 +2,7 @@
 
 The FR op (reference fr/src/feature_refine_kernel.cu:112-163) bilinearly
 samples the conv-branch feature map at each position's best-box center.
-Expressed as a flat XLA gather this is row-latency-bound: ~36 ms/b32 on
+Expressed as a flat XLA gather this is row-latency-bound: ~34 ms/b32 on
 v5e for 698k points x 4 corner rows of 512 B — 20x off the HBM
 speed-of-light — because the hardware issues an independent row fetch
 per corner index (PARITY.md round-3 gather A/B table).
@@ -19,17 +19,29 @@ stencil: for every integer shift (u, v) in the window,
     acc[a, b, :] += sum_corners w_c[a, b] * [dy_c == u][dx_c == v]
                     * feat[a + u, b + v, :]
 
-— all VPU selects/fmas over contiguous VMEM, no per-row fetches. Shifts
-that no point in the band uses are skipped at runtime (most fire only
-for |u|,|v| <= 1).
+— all VPU selects/fmas over contiguous VMEM, no per-row fetches. All
+(2R+1)^2 shifts run unconditionally as masked FMAs (a data-dependent
+`pl.when` skip measured slower on v5e than the FMAs it saves at R<=2).
+
+TPU layout (the v5e-measured design, round 4): the slab lives in VMEM
+TRANSPOSED as (rows, C, W) so the grid-column dim W sits on vector
+LANES in both the 2D masks (Tm, G1) and the 3D slab — the mask
+broadcast m[:, None, :] then replicates along sublanes (cheap) instead
+of moving lane data to sublanes (a per-shift relayout that dominated
+the NHWC form). The whole 25-term stencil is emitted as ONE summed
+expression with no accumulator scratch, keeping every partial in vector
+registers: the scratch-accumulate form re-walked 4 MB of VMEM per shift
+and measured 87.7 ms for the stride-8 level of a b32 1024^2 input vs
+14.9 ms for this form (flat XLA gather: ~25 ms).
 
 Exactness: corners that fall OUTSIDE the +-R window contribute zero in
 the kernel; their contribution is added back by a budgeted XLA gather
-over just those corners (`jnp.nonzero(..., size=K)` + scatter-add), so
-the result equals the plain-gather path for any box geometry as long as
-the outlier count stays within the budget. The count is returned so
-callers/tests can verify the budget held (it is ~0 for real decoded
-rois; the budget exists for adversarial geometry).
+over just those corners (`jnp.nonzero(..., size=K)` + scatter-add). If
+the outlier count exceeds the budget (possible for adversarial
+geometry or early-training boxes decoded far off their anchor), the
+default `exact_fallback=True` switches — via `lax.cond`, at runtime —
+to the plain flat-gather result, so the op is exact for EVERY input;
+the fallback costs nothing when the budget holds.
 """
 import functools
 
@@ -40,22 +52,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sample_kernel(dy0, dy1, dx0, dx1, w00, w01, w10, w11, feat_hbm,
-                   out_ref, xbuf, acc, sem, *, R, Tm, G1, C):
+                   out_ref, xbuf, sem, *, R, Tm, G1, C):
     b = pl.program_id(0)
     t = pl.program_id(1)
     cp = pltpu.make_async_copy(
         feat_hbm.at[b, pl.ds(t * Tm, Tm + 2 * R)], xbuf, sem)
     cp.start()
-    acc[...] = jnp.zeros_like(acc)
     d0, d1 = dy0[0], dy1[0]                       # (Tm, G1) int32
     e0, e1 = dx0[0], dx1[0]
     v00, v01 = w00[0], w01[0]                     # (Tm, G1) f32
     v10, v11 = w10[0], w11[0]
     cp.wait()
-    # unconditional masked FMA per shift: a data-dependent skip
-    # (`pl.when(jnp.any(m != 0))`) measured SLOWER e2e on v5e — the
-    # (2R+1)^2 vector->scalar reductions + predicated branches per
-    # invocation cost more than the skipped FMAs save at R<=2
+    acc = None
     for u in range(-R, R + 1):
         my0 = d0 == u
         my1 = d1 == u
@@ -66,15 +74,19 @@ def _sample_kernel(dy0, dy1, dx0, dx1, w00, w01, w10, w11, feat_hbm,
                  + jnp.where(my0 & mx1, v01, 0.0)
                  + jnp.where(my1 & mx0, v10, 0.0)
                  + jnp.where(my1 & mx1, v11, 0.0))
-            sl = xbuf[R + u:R + u + Tm, R + v:R + v + G1, :]
-            acc[...] += m[:, :, None] * sl.astype(jnp.float32)
-    out_ref[0] = acc[...].astype(out_ref.dtype)
+            # row shift u: untiled-dim slice (free); col shift v: lane
+            # window into the padded slab (in-register align)
+            sl = xbuf[R + u:R + u + Tm, :, R + v:R + v + G1]
+            term = m[:, None, :] * sl.astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('window', 'outlier_budget',
-                                             'interpret'))
+                                             'exact_fallback', 'interpret'))
 def bilinear_sample_band(feat, py, px, inside, window=2,
-                         outlier_budget=None, interpret=False):
+                         outlier_budget=None, exact_fallback=True,
+                         interpret=False):
     """Bilinear-sample `feat` at per-grid-cell points, band-kernel style.
 
     feat: (B, H, W, C). py/px/inside: (B, G0, G1) fractional row/col
@@ -86,8 +98,10 @@ def bilinear_sample_band(feat, py, px, inside, window=2,
 
     Returns (val, n_outliers): val (B, G0, G1, C) sampled values in grid
     layout (zero where `inside` is False), and the number of corner
-    contributions that fell outside the stencil window and went through
-    the budgeted correction gather.
+    contributions that fell outside the stencil window. Outliers within
+    `outlier_budget` are corrected exactly by a budgeted gather; beyond
+    the budget, `exact_fallback=True` (default) swaps in the flat-gather
+    result at runtime so the op stays exact for any geometry.
     """
     b, h, w, c = feat.shape
     _, g0, g1 = py.shape
@@ -137,26 +151,37 @@ def bilinear_sample_band(feat, py, px, inside, window=2,
     kw10 = jnp.where(out10, zero, w10)
     kw11 = jnp.where(out11, zero, w11)
 
-    featp = jnp.pad(feat, ((0, 0), (R, R), (R, R), (0, 0)))
+    # slab layout (B, H', C, W'): W on lanes (padded to a 128 multiple —
+    # Mosaic slices need tile-aligned minor dims), C on sublanes
+    wp = -(-(w + 2 * R) // 128) * 128
+    featp = jnp.pad(feat, ((0, 0), (R, R), (R, wp - w - R), (0, 0)))
+    featT = jnp.transpose(featp, (0, 1, 3, 2))
     grid = (b, g0 // Tm)
     plane = lambda bb, tt: (bb, tt, 0)  # noqa: E731
     plane_spec = pl.BlockSpec((1, Tm, g1), plane, memory_space=pltpu.VMEM)
-    val = pl.pallas_call(
+    valT = pl.pallas_call(
         functools.partial(_sample_kernel, R=R, Tm=Tm, G1=g1, C=c),
-        out_shape=jax.ShapeDtypeStruct((b, g0, g1, c), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g0, c, g1), feat.dtype),
         grid=grid,
-        in_specs=[plane_spec] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, Tm, g1, c), lambda bb, tt: (bb, tt, 0, 0),
+        in_specs=[plane_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, Tm, c, g1), lambda bb, tt: (bb, tt, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Tm + 2 * R, g1 + 2 * R, c), feat.dtype),
-            pltpu.VMEM((Tm, g1, c), jnp.float32),
+            pltpu.VMEM((Tm + 2 * R, c, wp), feat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the register-fused 25-term expression needs stack room beyond
+        # Mosaic's conservative 16 MB scoped-VMEM default (v5e: 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
-    )(dy0, dy1, dx0, dx1, kw00, kw01, kw10, kw11, featp)
+    )(dy0, dy1, dx0, dx1, kw00, kw01, kw10, kw11, featT)
+    val = jnp.transpose(valT, (0, 1, 3, 2))
 
-    # budgeted exact correction for out-of-window corners
+    # budgeted exact correction for out-of-window corners. For real FRM
+    # rois n_out is 0, so the machinery — jnp.nonzero(size=K) over 4N
+    # bools and a TPU scatter-add — hides behind lax.cond and costs one
+    # reduction on the hot path (band+fallback == band alone, 12.4 vs
+    # 12.3 ms/b32 for the stride-8 level on v5e).
     K = outlier_budget
     omask = jnp.stack([out00, out01, out10, out11], -1).reshape(-1)
     n_out = jnp.sum(omask, dtype=jnp.int32)
@@ -166,12 +191,31 @@ def bilinear_sample_band(feat, py, px, inside, window=2,
                       base + y1 * w + x0, base + y1 * w + x1],
                      -1).reshape(-1)
     wts = jnp.stack([w00, w01, w10, w11], -1).reshape(-1)
-    oidx = jnp.nonzero(omask, size=K, fill_value=0)[0]
-    valid = (jax.lax.iota(jnp.int32, K) < n_out).astype(jnp.float32)
-    cwts = wts[oidx] * valid
-    crows = jnp.take(feat.reshape(b * h * w, c), rows[oidx], axis=0)
-    contrib = (cwts[:, None] * crows.astype(jnp.float32)).astype(feat.dtype)
-    pts = oidx // 4
-    val = (val.reshape(b * g0 * g1, c).at[pts].add(contrib)
-           .reshape(b, g0, g1, c))
+
+    def _correct(val):
+        oidx = jnp.nonzero(omask, size=K, fill_value=0)[0]
+        valid = (jax.lax.iota(jnp.int32, K) < n_out).astype(jnp.float32)
+        cwts = wts[oidx] * valid
+        crows = jnp.take(feat.reshape(b * h * w, c), rows[oidx], axis=0)
+        contrib = (cwts[:, None]
+                   * crows.astype(jnp.float32)).astype(feat.dtype)
+        pts = oidx // 4
+        return (val.reshape(b * g0 * g1, c).at[pts].add(contrib)
+                .reshape(b, g0, g1, c))
+
+    def _flat(val):
+        # runtime guard (ADVICE r3): outliers exceeded the budget, so
+        # the correction would silently truncate — recompute everything
+        # via the flat gather. Exact for ANY geometry.
+        gv = jnp.take(feat.reshape(b * h * w, c), rows, axis=0)
+        contribs = (wts[:, None] * gv.astype(jnp.float32))
+        return (contribs.reshape(b * g0 * g1, 4, c).sum(1)
+                .astype(feat.dtype).reshape(b, g0, g1, c))
+
+    if exact_fallback:
+        val = jax.lax.cond(
+            n_out == 0, lambda v: v,
+            lambda v: jax.lax.cond(n_out > K, _flat, _correct, v), val)
+    else:
+        val = jax.lax.cond(n_out == 0, lambda v: v, _correct, val)
     return val, n_out

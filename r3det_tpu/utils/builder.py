@@ -98,10 +98,29 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
         frozen_stages=model.get('backbone', {}).get('frozen_stages', 1),
         backbone_depth=model.get('backbone', {}).get('depth', 50),
         # framework extension: int8 PTQ serving (models/quant.py)
-        quantize=bool(model.get('quantize_int8',
-                                test_cfg.get('quantize_int8', False))),
+        quantize=_quant_flag(model, test_cfg, 'quantize_int8'),
+        quantize_head=_quant_flag(model, test_cfg, 'quantize_head_int8'),
     )
+    # keys that would silently alter training math deserve a loud skip:
+    # the reference's RRandomSampler route (rotate_random_sampler.py) is
+    # provided by core/samplers.py but is not wired through the config
+    # schema — a train_cfg requesting one would train differently here
+    for tc in ([train_cfg.get('s0', {})] + list(train_cfg.get('sr', []))
+               if is_r3det else [train_cfg]):
+        sampler = (tc or {}).get('sampler')
+        if sampler and sampler.get('type') not in (None, 'PseudoSampler'):
+            warnings.warn(
+                f'train_cfg sampler {sampler.get("type")!r} is ignored: '
+                'this framework trains with the PseudoSampler path (all '
+                'assigned anchors); core.samplers.random_sample exists '
+                'but is not reachable from configs')
     return cfg
+
+
+def _quant_flag(model, test_cfg, key):
+    """int8 PTQ flags: False | True | 'static' (models/quant.py)."""
+    v = model.get(key, test_cfg.get(key, False))
+    return v if v == 'static' else bool(v)
 
 
 def build_from_config(cfg, dtype=None, **model_kwargs):

@@ -222,3 +222,39 @@ def test_loader_sustained_rate(split_dir):
     rate = n / dt
     print(f'loader rate: {rate:.1f} samples/s')
     assert rate > 5.0, f'loader too slow: {rate:.2f} samples/s'
+
+
+def test_browse_dataset_interprets_config_pipeline(split_dir, tmp_path):
+    """browse_dataset must run the config's ACTUAL pipeline (reference
+    tools/misc/browse_dataset.py behavior), not a hardcoded stage list —
+    a custom img_scale / flip_ratio / rotate config must take effect."""
+    cfg = tmp_path / 'browse.py'
+    cfg.write_text(f"""
+model = dict(type='RRetinaNet',
+             bbox_head=dict(bbox_coder=dict(angle_range='v1')))
+data = dict(train=dict(
+    ann_file='{split_dir}/annfiles', img_prefix='{split_dir}/images',
+    pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+        dict(type='RResize', img_scale=(256, 256)),
+        dict(type='RRandomFlip', flip_ratio=1.0),
+        dict(type='PolyRandomRotate', rotate_ratio=1.0, angles_range=180),
+        dict(type='Normalize', mean=[0, 0, 0], std=[1, 1, 1], to_rgb=True),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+    ]))
+""")
+    out = tmp_path / 'browse_out'
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, 'tools/misc/browse_dataset.py'),
+         str(cfg), '--output-dir', str(out), '--limit', '3'],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, 'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr
+    pngs = [f for f in os.listdir(out) if f.endswith('.png')]
+    assert pngs
+    # the 256x256 img_scale from the config must be honored
+    img = cv2.imread(str(out / pngs[0]))
+    assert max(img.shape[:2]) <= 300

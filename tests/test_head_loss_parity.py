@@ -126,8 +126,10 @@ def _pad_gts(gts, labels, G=4):
 
 @pytest.mark.slow
 @pytest.mark.parametrize('version,circum', [
-    ('v1', True), ('v1', False), ('v3', True), ('v3', False)],
+    ('v1', True), ('v1', False), ('v2', True), ('v2', False),
+    ('v3', True), ('v3', False)],
     ids=['v1-hbb-assign', 'v1-rotated-assign',
+         'v2-hbb-assign', 'v2-rotated-assign',
          'v3-hbb-assign', 'v3-rotated-assign'])
 def test_head_forward_and_loss_match_reference(version, circum):
     ref_head = _build_ref_head(version, circum)

@@ -90,3 +90,31 @@ def test_builder_maps_framework_test_cfg_extensions(tmp_path):
     model, det_cfg = build_from_config(Config.fromfile(str(cfg_file)))
     assert det_cfg.test.nms_candidates == 4096
     assert det_cfg.test.approx_topk is True
+
+
+def test_builder_maps_quantize_flags_and_warns_on_sampler(tmp_path):
+    cfg_file = tmp_path / 'q.py'
+    cfg_file.write_text(
+        "_base_ = ['%s/configs/r3det/r3det_r50_fpn_1x_dota_v1.py']\n"
+        "model = dict(quantize_int8='static', quantize_head_int8=True)\n"
+        % REPO)
+    from r3det_tpu.utils.builder import build_from_config
+    from r3det_tpu.utils.config import Config
+    model, det_cfg = build_from_config(Config.fromfile(str(cfg_file)))
+    assert det_cfg.quantize == 'static'
+    assert det_cfg.quantize_head is True
+
+    import warnings as _w
+    from r3det_tpu.utils.builder import detector_config_from_dict
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        detector_config_from_dict(
+            dict(type='RRetinaNet', bbox_head=dict()),
+            train_cfg=dict(sampler=dict(type='RRandomSampler', num=256)))
+    assert any('sampler' in str(w.message) for w in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        detector_config_from_dict(
+            dict(type='RRetinaNet', bbox_head=dict()),
+            train_cfg=dict(sampler=dict(type='PseudoSampler')))
+    assert not any('sampler' in str(w.message) for w in rec)

@@ -19,13 +19,11 @@ def main():
     p.add_argument('config')
     p.add_argument('--output-dir', default='browse_out')
     p.add_argument('--limit', type=int, default=20)
-    p.add_argument('--img-size', type=int, default=1024)
     args = p.parse_args()
 
     from r3det_tpu.utils.config import Config
     from r3det_tpu.datasets.dota import DOTADataset
-    from r3det_tpu.datasets.transforms import RResize, RRandomFlip, \
-        PolyRandomRotate
+    from r3det_tpu.datasets.transforms import Normalize, Pad, TrainPipeline
     from r3det_tpu.core.visualization import imshow_det_rbboxes
 
     cfg = Config.fromfile(args.config)
@@ -33,12 +31,14 @@ def main():
     train_d = cfg.data.train
     ds = DOTADataset(train_d.ann_file, train_d.get('img_prefix'),
                      version=version)
-    with_rotate = any(s.get('type') == 'PolyRandomRotate'
-                      for s in train_d.get('pipeline', []))
-    stages = [RResize((args.img_size, args.img_size)),
-              RRandomFlip(0.5, version=version)]
-    if with_rotate:
-        stages.append(PolyRandomRotate(version=version))
+    # interpret the config's ACTUAL pipeline (reference
+    # browse_dataset.py builds its dataset from cfg.data.train too) —
+    # custom flip ratios / scales / rotate params all take effect;
+    # only Normalize/Pad are dropped so the previews stay in pixel space
+    pipeline = TrainPipeline.from_config(
+        train_d.get('pipeline', []), version=version)
+    stages = [s for s in pipeline.stages
+              if not isinstance(s, (Normalize, Pad))]
 
     os.makedirs(args.output_dir, exist_ok=True)
     for i in range(min(args.limit, len(ds))):
