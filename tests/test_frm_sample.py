@@ -91,6 +91,30 @@ def test_band_sample_budget_counts():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_band_sample_over_budget_falls_back_exact():
+    """ADVICE r3 guard: when outliers exceed the budget, the runtime
+    lax.cond swaps in the flat-gather result — exact for ANY geometry —
+    instead of silently truncating contributions."""
+    rng = np.random.RandomState(3)
+    b, h, w, c = 2, 16, 16, 256
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    py, px = _grids(rng, b, h, w, spread=1.5, n_far=120)
+    ins = jnp.ones((b, h, w), bool)
+    val, n_out = bilinear_sample_band(feat, jnp.asarray(py),
+                                      jnp.asarray(px), ins,
+                                      outlier_budget=8, interpret=True)
+    assert int(n_out) > 8
+    np.testing.assert_allclose(np.asarray(val), _ref(feat, py, px),
+                               rtol=1e-5, atol=1e-5)
+    # and without the guard the same call is NOT exact (documents what
+    # exact_fallback protects against)
+    val_t, _ = bilinear_sample_band(feat, jnp.asarray(py),
+                                    jnp.asarray(px), ins,
+                                    outlier_budget=8,
+                                    exact_fallback=False, interpret=True)
+    assert np.abs(np.asarray(val_t) - _ref(feat, py, px)).max() > 1e-3
+
+
 @pytest.mark.parametrize('quirk', [True, False])
 def test_feature_refine_sample_kernel_route(quirk, monkeypatch):
     # the module-level route: rois decoded near anchor positions, both
