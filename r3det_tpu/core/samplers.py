@@ -13,6 +13,20 @@ import jax
 import jax.numpy as jnp
 
 
+class SamplerCfg(NamedTuple):
+    """Config-schema handle for RRandomSampler (hashable -> jit-static).
+
+    Parity: rotate_random_sampler.py __init__ (num, pos_fraction,
+    neg_pos_ub). ``add_gt_as_proposals`` is a proposal-based (two-stage)
+    knob; anchor heads sample anchors, not proposals, so it has no
+    effect in this pipeline (the reference's RAnchorHead likewise never
+    passes proposals).
+    """
+    num: int = 256
+    pos_fraction: float = 0.5
+    neg_pos_ub: float = -1.0
+
+
 class SampleResult(NamedTuple):
     pos_mask: jnp.ndarray     # (A,) bool
     neg_mask: jnp.ndarray     # (A,) bool

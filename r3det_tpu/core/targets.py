@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from . import rtransforms as rt
 from .assigner import max_iou_assign
+from .samplers import SamplerCfg, random_sample
 from ..ops.rotated_iou import rotated_iou_pairwise
 
 
@@ -32,6 +33,11 @@ class TargetConfig(NamedTuple):
     assign_by_circumhbbox: Optional[str] = 'v1'   # None -> rotated assign
     angle_version: str = 'v1'                      # coder version
     hbb_anchors: bool = False                      # anchors are xyxy (4)
+    # RRandomSampler route (rotate_random_sampler.py via rotate_anchor_
+    # head.py:81-86): subsample pos/neg to a fixed budget. None ->
+    # PseudoSampler (every assigned anchor participates). Requires an
+    # ``rng`` arg to anchor_targets when set.
+    sampler: Optional[SamplerCfg] = None
 
 
 class AnchorTargets(NamedTuple):
@@ -39,8 +45,9 @@ class AnchorTargets(NamedTuple):
     label_weights: jnp.ndarray   # (B, A) float32
     bbox_targets: jnp.ndarray    # (B, A, 5) float32 encoded deltas
     bbox_weights: jnp.ndarray    # (B, A) float32 (broadcast over 5 dims)
-    num_pos: jnp.ndarray         # (B,) int32  (per image)
+    num_pos: jnp.ndarray         # (B,) int32  (per image, post-sampling)
     assigned_gt: jnp.ndarray     # (B, A) int32 (-1 ignore / 0 neg / k=gt k-1)
+    num_neg: jnp.ndarray = None  # (B,) int32  (per image, post-sampling)
 
 
 def _hbb_iou(boxes1_xyxy, boxes2_xyxy):
@@ -55,9 +62,10 @@ def _hbb_iou(boxes1_xyxy, boxes2_xyxy):
     return inter / jnp.maximum(a1 + a2 - inter, 1e-10)
 
 
-def _targets_single(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
+def _targets_single(anchors, gt_bboxes, gt_labels, gt_mask, rng, encode_fn,
                     num_classes, cfg: TargetConfig):
-    """One image. anchors (A, 5|4); gt (G, 5); labels (G,); mask (G,)."""
+    """One image. anchors (A, 5|4); gt (G, 5); labels (G,); mask (G,);
+    rng: per-image PRNG key when cfg.sampler is set, else None."""
     version = cfg.angle_version
     if cfg.assign_by_circumhbbox is not None:
         # Circumscribed axis-aligned assignment (cheap fast path).
@@ -84,8 +92,20 @@ def _targets_single(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
                          pos_iou_thr=cfg.pos_iou_thr,
                          neg_iou_thr=cfg.neg_iou_thr,
                          min_pos_iou=cfg.min_pos_iou)
-    pos = res.assigned > 0
-    neg = res.assigned == 0
+    if cfg.sampler is not None:
+        # RRandomSampler route: keep <= num*pos_fraction random
+        # positives, fill the budget with random negatives
+        # (rotate_random_sampler.py _sample_pos/_sample_neg); anchors
+        # not sampled get zero weight, exactly like the reference's
+        # index-list sampling_result (rotate_anchor_head.py:241-277)
+        s = cfg.sampler
+        sr = random_sample(rng, res.assigned, num=s.num,
+                           pos_fraction=s.pos_fraction,
+                           neg_pos_ub=s.neg_pos_ub)
+        pos, neg = sr.pos_mask, sr.neg_mask
+    else:
+        pos = res.assigned > 0
+        neg = res.assigned == 0
     gt_idx = jnp.maximum(res.assigned - 1, 0)
 
     matched_gt = gt_bboxes[gt_idx]                         # (A, 5)
@@ -99,14 +119,15 @@ def _targets_single(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
 
     return (labels, label_weights.astype(jnp.float32), bbox_targets,
             bbox_weights, pos.sum().astype(jnp.int32),
-            res.assigned - 1)
+            res.assigned - 1, neg.sum().astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=('encode_fn', 'num_classes', 'cfg',
                                    'per_image_anchors'))
 def anchor_targets(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
                    num_classes, cfg: TargetConfig,
-                   per_image_anchors: bool = False) -> AnchorTargets:
+                   per_image_anchors: bool = False,
+                   rng=None) -> AnchorTargets:
     """Batched targets.
 
     Args:
@@ -116,15 +137,24 @@ def anchor_targets(anchors, gt_bboxes, gt_labels, gt_mask, encode_fn,
       encode_fn: coder encode, e.g. DeltaXYWHAOBBoxCoder(...).encode.
       num_classes: background label value.
       cfg: TargetConfig (hashable, static).
+      rng: PRNG key, required when cfg.sampler is set (split per image).
     """
     single = partial(_targets_single, encode_fn=encode_fn,
                      num_classes=num_classes, cfg=cfg)
-    in_axes = (0 if per_image_anchors else None, 0, 0, 0)
+    if cfg.sampler is not None:
+        if rng is None:
+            raise ValueError('cfg.sampler is set: anchor_targets needs rng')
+        rngs = jax.random.split(rng, gt_bboxes.shape[0])
+    else:
+        rngs = None
+    in_axes = (0 if per_image_anchors else None, 0, 0, 0,
+               None if rngs is None else 0)
     out = jax.vmap(single, in_axes=in_axes)(anchors, gt_bboxes, gt_labels,
-                                            gt_mask)
+                                            gt_mask, rngs)
     return AnchorTargets(labels=out[0], label_weights=out[1],
                          bbox_targets=out[2], bbox_weights=out[3],
-                         num_pos=out[4], assigned_gt=out[5])
+                         num_pos=out[4], assigned_gt=out[5],
+                         num_neg=out[6])
 
 
 def num_total_samples(num_pos: jnp.ndarray) -> jnp.ndarray:

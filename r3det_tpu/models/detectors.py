@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..core import coders
 from ..core.anchors import RAnchorGenerator
+from ..core.samplers import SamplerCfg
 from ..core.targets import TargetConfig, anchor_targets, num_total_samples
 from ..ops.nms import multiclass_nms_rotated
 from .fpn import FPN
@@ -42,6 +43,11 @@ class StageTrainCfg(NamedTuple):
     neg_iou_thr: float = 0.4
     min_pos_iou: float = 0.0
     assign_by_circumhbbox: Optional[str] = 'v1'
+    # RRandomSampler route (core/samplers.py::SamplerCfg); None ->
+    # PseudoSampler. The reference activates a train_cfg sampler only
+    # for non-focal cls losses (rotate_anchor_head.py:62,81-86) — the
+    # builder applies that gate when mapping config dicts.
+    sampler: Optional['SamplerCfg'] = None
 
 
 class TestCfg(NamedTuple):
@@ -88,6 +94,10 @@ class DetectorConfig(NamedTuple):
     focal_alpha: float = 0.25
     smooth_l1_beta: float = 0.11
     loss_bbox_type: str = 'smooth_l1'    # 'smooth_l1' | 'l1'
+    # 'focal' (FocalLoss, shipped configs) | 'bce' (CrossEntropyLoss
+    # use_sigmoid=True — the reference pairing that activates samplers,
+    # rotate_anchor_head.py:62-64)
+    loss_cls_type: str = 'focal'
     frozen_stages: int = 1
     backbone_depth: int = 50
     hbb_anchors: bool = False   # base head keeps horizontal (xyxy) anchors
@@ -316,8 +326,8 @@ def _flatten_levels(cls_scores, bbox_preds, num_classes):
 
 def head_loss(cls_scores, bbox_preds, anchors, gt_bboxes, gt_labels,
               gt_mask, cfg: DetectorConfig, stage: StageTrainCfg,
-              coder, per_image_anchors=False):
-    """Loss of one head over all levels (focal + smooth L1).
+              coder, per_image_anchors=False, rng=None):
+    """Loss of one head over all levels (focal/BCE + smooth L1).
 
     The reference computes per-level losses then sums (rotate_anchor_
     head.py:381-427 + 487-497); with a global avg_factor the result is
@@ -330,15 +340,27 @@ def head_loss(cls_scores, bbox_preds, anchors, gt_bboxes, gt_labels,
         min_pos_iou=stage.min_pos_iou,
         assign_by_circumhbbox=stage.assign_by_circumhbbox,
         angle_version=cfg.angle_version,
-        hbb_anchors=cfg.hbb_anchors and not per_image_anchors)
+        hbb_anchors=cfg.hbb_anchors and not per_image_anchors,
+        sampler=stage.sampler)
     tgts = anchor_targets(anchors, gt_bboxes, gt_labels, gt_mask,
                           coder.encode, cfg.num_classes, tcfg,
-                          per_image_anchors=per_image_anchors)
+                          per_image_anchors=per_image_anchors,
+                          rng=rng)
+    # normalizer: num_total_pos alone for focal; pos+neg when a sampler
+    # runs (rotate_anchor_head.py:474-476, each summed as max(n_i, 1))
     nts = num_total_samples(tgts.num_pos)
-    loss_cls = sigmoid_focal_loss(
-        cls_flat.reshape(-1, cfg.num_classes), tgts.labels.reshape(-1),
-        tgts.label_weights.reshape(-1), cfg.num_classes, nts,
-        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+    if stage.sampler is not None:
+        nts = nts + num_total_samples(tgts.num_neg)
+    if cfg.loss_cls_type == 'bce':
+        from .losses import sigmoid_bce_loss
+        loss_cls = sigmoid_bce_loss(
+            cls_flat.reshape(-1, cfg.num_classes), tgts.labels.reshape(-1),
+            tgts.label_weights.reshape(-1), cfg.num_classes, nts)
+    else:
+        loss_cls = sigmoid_focal_loss(
+            cls_flat.reshape(-1, cfg.num_classes), tgts.labels.reshape(-1),
+            tgts.label_weights.reshape(-1), cfg.num_classes, nts,
+            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
     if cfg.loss_bbox_type == 'l1':
         from .losses import l1_loss
         loss_bbox = l1_loss(
@@ -352,12 +374,14 @@ def head_loss(cls_scores, bbox_preds, anchors, gt_bboxes, gt_labels,
 
 
 def detector_loss(outputs, cfg: DetectorConfig, featmap_sizes, gt_bboxes,
-                  gt_labels, gt_mask):
+                  gt_labels, gt_mask, rng=None):
     """Full train loss: s0 + weighted sr stages.
 
     Parity: R3Det.forward_train (r3det.py:75-110) — losses keyed
     's0.loss_cls', 'sr0.loss_bbox', ... with stage_loss_weights applied
-    to refine stages.
+    to refine stages. ``rng`` feeds the RRandomSampler when a stage
+    configures one (defaults to a fixed key; the train step folds in
+    the global step for fresh per-step sampling).
     """
     coder = cfg.coder()
     anchors = level_anchors(cfg, featmap_sizes)
@@ -366,10 +390,18 @@ def detector_loss(outputs, cfg: DetectorConfig, featmap_sizes, gt_bboxes,
         from ..core import rtransforms as rt
         anchors_flat = rt.obb2xyxy(anchors_flat, cfg.angle_version)
 
+    any_sampler = (cfg.s0_train.sampler is not None or
+                   any(s.sampler is not None for s in cfg.sr_train))
+    if any_sampler and rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def stage_rng(i):
+        return None if rng is None else jax.random.fold_in(rng, i)
+
     losses = {}
     cls0, reg0 = outputs['s0']
     lc, lb = head_loss(cls0, reg0, anchors_flat, gt_bboxes, gt_labels,
-                       gt_mask, cfg, cfg.s0_train, coder)
+                       gt_mask, cfg, cfg.s0_train, coder, rng=stage_rng(0))
     losses['s0.loss_cls'] = lc
     losses['s0.loss_bbox'] = lb
 
@@ -381,7 +413,7 @@ def detector_loss(outputs, cfg: DetectorConfig, featmap_sizes, gt_bboxes,
         w = cfg.stage_loss_weights[i]
         lc, lb = head_loss(cls_i, reg_i, rois_flat, gt_bboxes, gt_labels,
                            gt_mask, cfg, cfg.sr_train[i], refine_coder,
-                           per_image_anchors=True)
+                           per_image_anchors=True, rng=stage_rng(i + 1))
         losses[f'sr{i}.loss_cls'] = lc * w
         losses[f'sr{i}.loss_bbox'] = lb * w
 

@@ -33,6 +33,23 @@ def sigmoid_focal_loss(logits, labels, weights, num_classes, avg_factor,
     return (loss * weights).sum() / jnp.maximum(avg_factor, 1.0)
 
 
+def sigmoid_bce_loss(logits, labels, weights, num_classes, avg_factor):
+    """Sigmoid cross-entropy, mmdet CrossEntropyLoss(use_sigmoid=True).
+
+    The cls loss that activates the sampler route in the reference
+    (rotate_anchor_head.py:62-64: FocalLoss disables sampling). Labels
+    expand to one-hot with label == C -> all-zero background row
+    (mmdet _expand_onehot_labels); per-anchor weights broadcast over
+    classes; sum / avg_factor.
+    """
+    labels = labels.astype(jnp.int32)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    bce = jnp.maximum(logits, 0) - logits * one_hot + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = bce.sum(-1)
+    return (loss * weights).sum() / jnp.maximum(avg_factor, 1.0)
+
+
 def smooth_l1_loss(pred, target, weights, avg_factor, beta=1.0 / 9.0):
     """Smooth L1 with per-anchor weights broadcast over the box dims."""
     diff = jnp.abs(pred - target)

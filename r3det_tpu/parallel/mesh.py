@@ -139,14 +139,23 @@ def make_train_step(model, cfg, featmap_sizes, mesh: Mesh,
     batch_shardings = {'image': data, 'gt_bboxes': data, 'gt_labels': data,
                        'gt_mask': data}
 
+    # fresh per-step key for the RRandomSampler route (when a stage
+    # configures one); derived from the global step so resume and
+    # multi-host replicas sample identically
+    any_sampler = (cfg.s0_train.sampler is not None or
+                   any(s.sampler is not None for s in cfg.sr_train))
+
     def step(state: TrainState, batch):
+        rng = (jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+               if any_sampler else None)
+
         def loss_fn(params):
             out = model.apply({'params': params,
                                'batch_stats': state.batch_stats},
                               batch['image'])
             losses = detector_loss(out, cfg, featmap_sizes,
                                    batch['gt_bboxes'], batch['gt_labels'],
-                                   batch['gt_mask'])
+                                   batch['gt_mask'], rng=rng)
             return losses['total'], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -9,17 +9,46 @@ r3det configs load.
 """
 import warnings
 
+from ..core.samplers import SamplerCfg
 from ..models.detectors import (DetectorConfig, StageTrainCfg, TestCfg,
                                 build_detector)
 
+# cls losses that DISABLE train_cfg samplers in the reference
+# (rotate_anchor_head.py:62-64: self.sampling = loss_cls['type'] not in
+# this list; FocalLoss configs always get the PseudoSampler)
+_NO_SAMPLING_LOSSES = ('FocalLoss', 'GHMC', 'QualityFocalLoss')
 
-def _stage_from_assigner(train_cfg, default_circum):
+
+def _stage_sampler(train_cfg, sampling_active):
+    """train_cfg['sampler'] dict -> SamplerCfg | None, reference-gated."""
+    sampler = (train_cfg or {}).get('sampler')
+    if not sampler or sampler.get('type') in (None, 'PseudoSampler'):
+        return None
+    stype = sampler.get('type')
+    if stype != 'RRandomSampler':
+        warnings.warn(f'train_cfg sampler {stype!r} is not provided; '
+                      'using the PseudoSampler path')
+        return None
+    if not sampling_active:
+        # reference semantics: with FocalLoss the sampler config is dead
+        # (rotate_anchor_head.py:81-86 builds PseudoSampler regardless)
+        warnings.warn('train_cfg sampler RRandomSampler is inactive under '
+                      f'loss_cls in {_NO_SAMPLING_LOSSES} (reference '
+                      'semantics: rotate_anchor_head.py:62-64,81-86)')
+        return None
+    return SamplerCfg(num=sampler.get('num', 256),
+                      pos_fraction=sampler.get('pos_fraction', 0.5),
+                      neg_pos_ub=float(sampler.get('neg_pos_ub', -1)))
+
+
+def _stage_from_assigner(train_cfg, default_circum, sampling_active=False):
     a = train_cfg.get('assigner', {})
     return StageTrainCfg(
         pos_iou_thr=a.get('pos_iou_thr', 0.5),
         neg_iou_thr=a.get('neg_iou_thr', 0.4),
         min_pos_iou=a.get('min_pos_iou', 0.0),
-        assign_by_circumhbbox=default_circum)
+        assign_by_circumhbbox=default_circum,
+        sampler=_stage_sampler(train_cfg, sampling_active))
 
 
 def detector_config_from_dict(model: dict, train_cfg: dict = None,
@@ -41,19 +70,30 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
     # assign_by_circumhbbox: RAnchorHead defaults to 'v1' when unset
     circum = head.get('assign_by_circumhbbox', 'v1')
 
+    lc_type = loss_cls.get('type', 'FocalLoss')
+    sampling = lc_type not in _NO_SAMPLING_LOSSES
+
     if is_r3det:
-        s0 = _stage_from_assigner(train_cfg.get('s0', {}), circum)
+        s0 = _stage_from_assigner(train_cfg.get('s0', {}), circum, sampling)
         sr = []
         for i, sr_cfg in enumerate(train_cfg.get('sr', [])):
             rh = (model.get('refine_heads') or [{}] * (i + 1))[i]
             sr.append(_stage_from_assigner(
-                sr_cfg, rh.get('assign_by_circumhbbox', None)))
+                sr_cfg, rh.get('assign_by_circumhbbox', None), sampling))
         stage_w = tuple(train_cfg.get('stage_loss_weights',
                                       [1.0] * num_refine))
         sr = tuple(sr) if sr else tuple(
             StageTrainCfg(0.6, 0.5, 0.0, None) for _ in range(num_refine))
+        # a TOP-LEVEL sampler key in an R3Det train_cfg is dead config —
+        # the reference's heads read train_cfg.s0 / train_cfg.sr[i]
+        # only — but silence would hide a user mistake (ADVICE r4)
+        if (train_cfg.get('sampler') or {}).get('type') not in (
+                None, 'PseudoSampler'):
+            warnings.warn('R3Det train_cfg.sampler at the TOP level is '
+                          'ignored (reference reads s0/sr stage dicts); '
+                          'put it under train_cfg.s0 / train_cfg.sr[i]')
     else:
-        s0 = _stage_from_assigner(train_cfg, circum)
+        s0 = _stage_from_assigner(train_cfg, circum, sampling)
         sr, stage_w = (), ()
 
     nms = dict(test_cfg.get('nms', {}))
@@ -64,6 +104,14 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
         nms_version = angle_version
 
     lb_type = loss_bbox.get('type', 'SmoothL1Loss')
+    if lc_type == 'CrossEntropyLoss' and loss_cls.get('use_sigmoid', False):
+        loss_cls_type = 'bce'
+    elif lc_type == 'FocalLoss':
+        loss_cls_type = 'focal'
+    else:
+        warnings.warn(f'loss_cls {lc_type!r} is not provided; '
+                      'falling back to FocalLoss')
+        loss_cls_type = 'focal'
     cfg = DetectorConfig(
         num_classes=head.get('num_classes', 15),
         angle_version=angle_version,
@@ -95,25 +143,13 @@ def detector_config_from_dict(model: dict, train_cfg: dict = None,
         focal_alpha=loss_cls.get('alpha', 0.25),
         smooth_l1_beta=loss_bbox.get('beta', 0.11),
         loss_bbox_type='l1' if lb_type == 'L1Loss' else 'smooth_l1',
+        loss_cls_type=loss_cls_type,
         frozen_stages=model.get('backbone', {}).get('frozen_stages', 1),
         backbone_depth=model.get('backbone', {}).get('depth', 50),
         # framework extension: int8 PTQ serving (models/quant.py)
         quantize=_quant_flag(model, test_cfg, 'quantize_int8'),
         quantize_head=_quant_flag(model, test_cfg, 'quantize_head_int8'),
     )
-    # keys that would silently alter training math deserve a loud skip:
-    # the reference's RRandomSampler route (rotate_random_sampler.py) is
-    # provided by core/samplers.py but is not wired through the config
-    # schema — a train_cfg requesting one would train differently here
-    for tc in ([train_cfg.get('s0', {})] + list(train_cfg.get('sr', []))
-               if is_r3det else [train_cfg]):
-        sampler = (tc or {}).get('sampler')
-        if sampler and sampler.get('type') not in (None, 'PseudoSampler'):
-            warnings.warn(
-                f'train_cfg sampler {sampler.get("type")!r} is ignored: '
-                'this framework trains with the PseudoSampler path (all '
-                'assigned anchors); core.samplers.random_sample exists '
-                'but is not reachable from configs')
     return cfg
 
 
@@ -123,11 +159,24 @@ def _quant_flag(model, test_cfg, key):
     return v if v == 'static' else bool(v)
 
 
+# serving-kernel module flags reachable from configs (framework
+# extension, like quantize_int8): accepted in the model dict or
+# test_cfg. The FRM keys exist only on R3Det and are dropped for
+# RRetinaNet models.
+_KERNEL_FLAG_KEYS = ('stem_fused_kernel', 'fused_blocks',
+                     'stem_pool_kernel', 'frm_sample_kernel',
+                     'frm_fuse_convs')
+_R3DET_ONLY_KWARGS = ('frm_sample_kernel', 'frm_fuse_convs', 'frm_points',
+                      'frm_transpose_quirk')
+
+
 def build_from_config(cfg, dtype=None, **model_kwargs):
     """Config (utils.config.Config or dict) -> (flax model, DetectorConfig).
 
     ``model_kwargs`` forward to build_detector (e.g. the serving-only
-    ``stem_fused_kernel`` / ``fused_blocks`` Pallas-kernel flags).
+    ``stem_fused_kernel`` / ``fused_blocks`` / ``frm_sample_kernel``
+    Pallas-kernel flags); the same flags are accepted as config keys in
+    the model dict or test_cfg, with explicit kwargs winning.
     """
     import jax.numpy as jnp
     cfg_dict = cfg.to_dict() if hasattr(cfg, 'to_dict') else dict(cfg)
@@ -143,6 +192,14 @@ def build_from_config(cfg, dtype=None, **model_kwargs):
     test_cfg = Config._merge(dict(model_d.get('test_cfg') or {}),
                              dict(cfg_dict.get('test_cfg') or {}))
     det_cfg = detector_config_from_dict(model_d, train_cfg, test_cfg)
-    model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16,
-                           **model_kwargs)
+    kwargs = {}
+    for key in _KERNEL_FLAG_KEYS:
+        v = model_d.get(key, test_cfg.get(key))
+        if v is not None:
+            kwargs[key] = bool(v)
+    kwargs.update(model_kwargs)
+    if det_cfg.num_refine_stages == 0:     # RRetinaNet: no FRM module
+        for key in _R3DET_ONLY_KWARGS:
+            kwargs.pop(key, None)
+    model = build_detector(det_cfg, dtype=dtype or jnp.bfloat16, **kwargs)
     return model, det_cfg

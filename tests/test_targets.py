@@ -126,3 +126,57 @@ def test_anchor_targets_rotated_assignment():
     assert int(out.num_pos[0]) == 1
     assert int(out.labels[0, 0]) == 3
     assert int(out.labels[0, 1]) == 15
+
+
+def test_anchor_targets_random_sampler_budget():
+    """RRandomSampler route (rotate_random_sampler.py): pos capped at
+    num*pos_fraction, sampled negatives fill the budget, everything
+    unsampled gets zero weight."""
+    from r3det_tpu.core.samplers import SamplerCfg
+    cfg = TargetConfig(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                       assign_by_circumhbbox='v1', angle_version='v1',
+                       sampler=SamplerCfg(num=8, pos_fraction=0.5))
+    coder = DeltaXYWHAOBBoxCoder(angle_range='v1')
+    # 40 anchors in a row; gts sit on the first 6 -> 6 positives
+    xs = jnp.arange(40, dtype=jnp.float32) * 40 + 16
+    anchors = jnp.stack([xs, jnp.full((40,), 16.), jnp.full((40,), 32.),
+                         jnp.full((40,), 32.), jnp.zeros(40)], -1)
+    gt = jnp.stack([xs[:6], jnp.full((6,), 16.), jnp.full((6,), 30.),
+                    jnp.full((6,), 30.), jnp.zeros(6)], -1)[None]
+    labels = jnp.zeros((1, 6), jnp.int32)
+    mask = jnp.ones((1, 6), bool)
+    out = anchor_targets(anchors, gt, labels, mask, coder.encode, 15, cfg,
+                         rng=jax.random.PRNGKey(7))
+    n_pos = int(out.num_pos[0])
+    n_neg = int(out.num_neg[0])
+    assert n_pos <= 4                       # num * pos_fraction
+    assert n_pos + n_neg <= 8               # total budget
+    assert n_neg == 8 - n_pos               # negatives fill the budget
+    lw = np.asarray(out.label_weights[0])
+    assert (lw > 0).sum() == n_pos + n_neg  # unsampled get zero weight
+    assert np.asarray(out.bbox_weights[0]).sum() == n_pos
+    # requires an rng when a sampler is configured
+    with pytest.raises(ValueError):
+        anchor_targets(anchors, gt, labels, mask, coder.encode, 15, cfg)
+
+
+def test_anchor_targets_random_sampler_keeps_scarce_positives():
+    """Fewer positives than the cap: all of them stay (reference
+    _sample_pos returns pos_inds unchanged when <= num_expected)."""
+    from r3det_tpu.core.samplers import SamplerCfg
+    cfg = TargetConfig(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                       assign_by_circumhbbox='v1', angle_version='v1',
+                       sampler=SamplerCfg(num=16, pos_fraction=0.5))
+    coder = DeltaXYWHAOBBoxCoder(angle_range='v1')
+    anchors = jnp.asarray([[16., 16., 32., 32., 0.],
+                           [100., 100., 32., 32., 0.],
+                           [200., 100., 32., 32., 0.]])
+    gt = jnp.asarray([[[16., 16., 30., 30., 0.]]])
+    labels = jnp.asarray([[2]], jnp.int32)
+    mask = jnp.ones((1, 1), bool)
+    for seed in range(3):
+        out = anchor_targets(anchors, gt, labels, mask, coder.encode, 15,
+                             cfg, rng=jax.random.PRNGKey(seed))
+        assert int(out.num_pos[0]) == 1
+        assert int(out.labels[0, 0]) == 2
+        assert int(out.num_neg[0]) == 2     # both negatives fit the budget

@@ -106,15 +106,86 @@ def test_builder_maps_quantize_flags_and_warns_on_sampler(tmp_path):
 
     import warnings as _w
     from r3det_tpu.utils.builder import detector_config_from_dict
+    # FocalLoss + sampler: inactive, reference semantics
+    # (rotate_anchor_head.py:62-64,81-86) — warn, no SamplerCfg
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter('always')
-        detector_config_from_dict(
+        cfg = detector_config_from_dict(
             dict(type='RRetinaNet', bbox_head=dict()),
             train_cfg=dict(sampler=dict(type='RRandomSampler', num=256)))
     assert any('sampler' in str(w.message) for w in rec)
+    assert cfg.s0_train.sampler is None
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter('always')
         detector_config_from_dict(
             dict(type='RRetinaNet', bbox_head=dict()),
             train_cfg=dict(sampler=dict(type='PseudoSampler')))
     assert not any('sampler' in str(w.message) for w in rec)
+
+
+def test_builder_wires_random_sampler_with_ce_loss():
+    """The RRandomSampler config route (rotate_random_sampler.py:7) is
+    live when the cls loss permits sampling."""
+    from r3det_tpu.core.samplers import SamplerCfg
+    from r3det_tpu.utils.builder import detector_config_from_dict
+    cfg = detector_config_from_dict(
+        dict(type='RRetinaNet',
+             bbox_head=dict(loss_cls=dict(type='CrossEntropyLoss',
+                                          use_sigmoid=True))),
+        train_cfg=dict(sampler=dict(type='RRandomSampler', num=128,
+                                    pos_fraction=0.25, neg_pos_ub=3)))
+    assert cfg.loss_cls_type == 'bce'
+    assert cfg.s0_train.sampler == SamplerCfg(128, 0.25, 3.0)
+
+    # R3Det: per-stage sampler dicts, top-level key warns as dead config
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        cfg3 = detector_config_from_dict(
+            dict(type='R3Det', num_refine_stages=1,
+                 bbox_head=dict(loss_cls=dict(type='CrossEntropyLoss',
+                                              use_sigmoid=True))),
+            train_cfg=dict(
+                s0=dict(sampler=dict(type='RRandomSampler', num=64)),
+                sr=[dict()],
+                sampler=dict(type='RRandomSampler', num=99)))
+    assert cfg3.s0_train.sampler == SamplerCfg(64, 0.5, -1.0)
+    assert cfg3.sr_train[0].sampler is None
+    assert any('TOP level' in str(w.message) for w in rec)
+
+
+def test_sampler_loss_path():
+    """End-to-end loss with a sampler config: detector_loss runs the
+    RRandomSampler route (CE cls loss), is finite, and depends on rng."""
+    import jax
+    import jax.numpy as jnp
+    from r3det_tpu.models.detectors import build_detector, detector_loss
+    from r3det_tpu.utils.builder import detector_config_from_dict
+    cfg = detector_config_from_dict(
+        dict(type='RRetinaNet',
+             bbox_head=dict(num_classes=3, stacked_convs=1,
+                            feat_channels=32,
+                            anchor_generator=dict(strides=(8, 16, 32,
+                                                           64, 128)),
+                            loss_cls=dict(type='CrossEntropyLoss',
+                                          use_sigmoid=True))),
+        train_cfg=dict(sampler=dict(type='RRandomSampler', num=32,
+                                    pos_fraction=0.5)))
+    model = build_detector(cfg, dtype=jnp.float32)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    sizes = tuple(c.shape[1:3] for c in out['s0'][0])
+    gt = jnp.asarray([[[32., 32., 16., 8., -0.3]]])
+    labels = jnp.asarray([[1]], jnp.int32)
+    mask = jnp.ones((1, 1), bool)
+    l1 = detector_loss(out, cfg, sizes, gt, labels, mask,
+                       rng=jax.random.PRNGKey(1))
+    l2 = detector_loss(out, cfg, sizes, gt, labels, mask,
+                       rng=jax.random.PRNGKey(2))
+    assert all(jnp.isfinite(v) for v in l1.values())
+    # different rng -> different sampled negatives -> different cls loss
+    assert float(l1['s0.loss_cls']) != float(l2['s0.loss_cls'])
+    # rng defaults when omitted (fixed key) rather than erroring
+    l3 = detector_loss(out, cfg, sizes, gt, labels, mask)
+    assert all(jnp.isfinite(v) for v in l3.values())
