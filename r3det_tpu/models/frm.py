@@ -89,8 +89,14 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
     # 128-lane vector register also stay on the gather — the kernel
     # pads W up to 128 lanes, so at W<128 it wastes the VPU while the
     # flat gather's row count (W^2) is already small.
+    # band divisibility (ADVICE r4): the kernel tiles the grid's axis 0
+    # (== h both with and without the quirk, since the quirk requires
+    # h == w) in Tm = min(16, g0) rows and asserts g0 % Tm == 0 — shapes
+    # that don't divide (e.g. 136x136 from a 1088px input) must fall
+    # back to the flat gather instead of tripping the assert
     if (sample_kernel and points == 1 and w >= 128
-            and (h == w or not transpose_quirk)):
+            and (h == w or not transpose_quirk)
+            and h % min(16, h) == 0):
         from ..ops.frm_sample import bilinear_sample_band
         rowg = row0.reshape(b, h, w)
         colg = col0.reshape(b, h, w)

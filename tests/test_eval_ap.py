@@ -47,10 +47,13 @@ def _mmdet_average_precision(recalls, precisions, mode='area'):
 def _random_pr_curve(rng, n):
     """A plausible PR curve: recall nondecreasing, precision anything."""
     recall = np.sort(rng.uniform(0, 1, n))
-    # repeated recall values happen whenever a det is a FP
+    # repeated recall values happen whenever a det is a FP; np.resize
+    # tiles to exactly rep.sum() so the assignment is shape-safe for any
+    # draw (ADVICE r4: np.repeat(...)[:k] under-fills when
+    # rep.sum() > 2 * (~rep).sum())
     rep = rng.random(n) < 0.3
-    recall[rep] = np.repeat(recall[~rep], 2)[:rep.sum()] if (~rep).any() \
-        else recall[rep]
+    if (~rep).any() and rep.any():
+        recall[rep] = np.resize(recall[~rep], rep.sum())
     recall = np.sort(recall)
     precision = rng.uniform(0, 1, n)
     return recall.astype(np.float64), precision.astype(np.float64)

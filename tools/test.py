@@ -34,8 +34,9 @@ def parse_args():
                         'activation scales from N dataset batches before '
                         'inference (default: dynamic scales)')
     p.add_argument('--fused-kernels', action='store_true',
-                   help='serving-only fused Pallas kernels (stem + '
-                        'stride-1 bottlenecks); inference graphs only')
+                   help='serving-only fused Pallas kernels (stem, '
+                        'stride-1 bottlenecks, FRM band sample); '
+                        'inference graphs only')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -53,9 +54,18 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
-    model, det_cfg = build_from_config(
-        cfg, stem_fused_kernel=args.fused_kernels,
-        fused_blocks=args.fused_kernels)
+    # --fused-kernels opts every serving Pallas kernel in at once; the
+    # same flags are config-reachable individually (model dict or
+    # test_cfg keys, utils/builder.py _KERNEL_FLAG_KEYS). The chip-
+    # validated FRM band-sample kernel rides this flag too — exact for
+    # any geometry via its runtime flat-gather fallback
+    # (ops/frm_sample.py; R3Det models only, builder drops it for
+    # RRetinaNet).
+    kernel_kwargs = dict(stem_fused_kernel=args.fused_kernels,
+                         fused_blocks=args.fused_kernels)
+    if args.fused_kernels:
+        kernel_kwargs['frm_sample_kernel'] = True
+    model, det_cfg = build_from_config(cfg, **kernel_kwargs)
 
     # evaluate whatever split the config's test dict points at, like the
     # reference (/root/reference/tools/test.py:108-236) — point data.test
