@@ -69,11 +69,16 @@ def run(batch, size=1024, iters=12, quantize=False, parity_nms=False):
     fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
     fused_blocks = os.environ.get('BENCH_FUSED_BLOCKS') == '1'
     pool_kernel = os.environ.get('BENCH_POOL_KERNEL', '1') == '1'
-    # FRM bilinear sample: banded Pallas stencil kernel (ops/frm_sample.py)
-    # — chip-validated round 4 at 12.4 vs 30.5 ms/b32 against the
-    # row-latency-bound flat gather, exact for any geometry via the
-    # runtime lax.cond fallback. Default ON; BENCH_FRM_KERNEL=0 opts out.
-    frm_kernel = os.environ.get('BENCH_FRM_KERNEL', '1') == '1'
+    # FRM bilinear sample: the banded Pallas stencil kernel
+    # (ops/frm_sample.py) wins its round-4 ISOLATED A/B (12.4 vs
+    # 30.5 ms/b32 at the stride-8 level) but LOSES in the full serving
+    # graph: same-conditions e2e A/B measured 150.7 (kernel) vs 189.8
+    # (flat gather) patches/s — ~39 ms/b32 of in-context cost the
+    # microbenchmark never sees (the pad+relayout pair around the
+    # kernel and the runtime-fallback cond boundary materialize the
+    # 256 MB level-0 tensor instead of fusing into neighbors; PARITY.md
+    # round-5 component map). Default OFF; BENCH_FRM_KERNEL=1 opts in.
+    frm_kernel = os.environ.get('BENCH_FRM_KERNEL', '0') == '1'
     model = build_detector(cfg, dtype=jnp.bfloat16,
                            stem_fused_kernel=fused_stem,
                            fused_blocks=fused_blocks,
@@ -243,7 +248,7 @@ def main():
         'vs_baseline': round(value / BASELINE_PATCHES_PER_SEC, 3),
         'serving_cfg': {
             'approx_topk': True, 'nms_candidates': 2000,
-            'frm_kernel': os.environ.get('BENCH_FRM_KERNEL', '1') == '1',
+            'frm_kernel': os.environ.get('BENCH_FRM_KERNEL', '0') == '1',
             'pool_kernel': os.environ.get('BENCH_POOL_KERNEL', '1') == '1',
             'fused_stem': os.environ.get('BENCH_FUSED_STEM') == '1',
             'fused_blocks': os.environ.get('BENCH_FUSED_BLOCKS') == '1',

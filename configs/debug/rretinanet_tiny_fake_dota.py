@@ -19,6 +19,12 @@ data = dict(
     val=dict(
         ann_file='/tmp/fake_dota_split/trainval/annfiles/',
         img_prefix='/tmp/fake_dota_split/trainval/images/',
+        classes=classes),
+    # tools/test.py evaluates data.test (reference semantics); point it
+    # at the annotated split so --eval mAP works for the dress rehearsal
+    test=dict(
+        ann_file='/tmp/fake_dota_split/trainval/annfiles/',
+        img_prefix='/tmp/fake_dota_split/trainval/images/',
         classes=classes))
 optimizer = dict(lr=1e-2)
 lr_config = dict(warmup_iters=50)

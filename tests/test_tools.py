@@ -92,6 +92,34 @@ def test_builder_maps_framework_test_cfg_extensions(tmp_path):
     assert det_cfg.test.approx_topk is True
 
 
+def test_builder_maps_kernel_flags(tmp_path):
+    # serving Pallas-kernel flags are config-reachable (model dict or
+    # test_cfg, utils/builder.py _KERNEL_FLAG_KEYS); FRM-only keys are
+    # dropped for RRetinaNet models, which have no FRM module
+    cfg_file = tmp_path / 'k.py'
+    cfg_file.write_text(
+        "_base_ = ['%s/configs/r3det/r3det_r50_fpn_1x_dota_v1.py']\n"
+        "model = dict(frm_sample_kernel=True, stem_pool_kernel=True)\n"
+        "test_cfg = dict(stem_fused_kernel=True)\n" % REPO)
+    from r3det_tpu.utils.builder import build_from_config
+    from r3det_tpu.utils.config import Config
+    model, det_cfg = build_from_config(Config.fromfile(str(cfg_file)))
+    assert model.frm_sample_kernel is True
+    assert model.stem_pool_kernel is True
+    assert model.stem_fused_kernel is True
+    assert model.fused_blocks is False
+
+    rr_file = tmp_path / 'krr.py'
+    rr_file.write_text(
+        "_base_ = ['%s/configs/rretinanet/"
+        "rretinanet_obb_r50_fpn_1x_dota_v1.py']\n"
+        "model = dict(frm_sample_kernel=True, fused_blocks=True)\n" % REPO)
+    model, det_cfg = build_from_config(Config.fromfile(str(rr_file)))
+    assert det_cfg.num_refine_stages == 0
+    assert not hasattr(model, 'frm_sample_kernel')
+    assert model.fused_blocks is True
+
+
 def test_builder_maps_quantize_flags_and_warns_on_sampler(tmp_path):
     cfg_file = tmp_path / 'q.py'
     cfg_file.write_text(

@@ -54,17 +54,15 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
-    # --fused-kernels opts every serving Pallas kernel in at once; the
-    # same flags are config-reachable individually (model dict or
-    # test_cfg keys, utils/builder.py _KERNEL_FLAG_KEYS). The chip-
-    # validated FRM band-sample kernel rides this flag too — exact for
-    # any geometry via its runtime flat-gather fallback
-    # (ops/frm_sample.py; R3Det models only, builder drops it for
-    # RRetinaNet).
+    # --fused-kernels opts the serving Pallas stem/bottleneck kernels
+    # in at once; the same flags are config-reachable individually
+    # (model dict or test_cfg keys, utils/builder.py _KERNEL_FLAG_KEYS).
+    # The FRM band-sample kernel is NOT included: it wins its isolated
+    # A/B but loses ~39 ms/b32 in the full serving graph (PARITY.md
+    # round-5 component map) — reach it explicitly via the
+    # frm_sample_kernel config key if its in-context cost is ever fixed.
     kernel_kwargs = dict(stem_fused_kernel=args.fused_kernels,
                          fused_blocks=args.fused_kernels)
-    if args.fused_kernels:
-        kernel_kwargs['frm_sample_kernel'] = True
     model, det_cfg = build_from_config(cfg, **kernel_kwargs)
 
     # evaluate whatever split the config's test dict points at, like the
