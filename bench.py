@@ -24,6 +24,8 @@ import numpy as np
 sys.path.insert(0, '.')
 
 BASELINE_PATCHES_PER_SEC = 300.0
+#: default FRM sample route for the headline benchmark (see run())
+_FRM_DEFAULT = '0'
 
 
 def run(batch, size=1024, iters=12, quantize=False, parity_nms=False):
@@ -77,8 +79,13 @@ def run(batch, size=1024, iters=12, quantize=False, parity_nms=False):
     # microbenchmark never sees (the pad+relayout pair around the
     # kernel and the runtime-fallback cond boundary materialize the
     # 256 MB level-0 tensor instead of fusing into neighbors; PARITY.md
-    # round-5 component map). Default OFF; BENCH_FRM_KERNEL=1 opts in.
-    frm_kernel = os.environ.get('BENCH_FRM_KERNEL', '0') == '1'
+    # round-5 component map). BENCH_FRM_KERNEL: '0' flat gather,
+    # '1'/'band' Pallas band kernel, 'stencil' the pure-XLA masked
+    # stencil that keeps the algorithmic win without the pallas_call
+    # region boundary.
+    frm_env = os.environ.get('BENCH_FRM_KERNEL', _FRM_DEFAULT)
+    frm_kernel = {'0': False, '1': True, 'band': True,
+                  'stencil': 'stencil'}.get(frm_env, False)
     model = build_detector(cfg, dtype=jnp.bfloat16,
                            stem_fused_kernel=fused_stem,
                            fused_blocks=fused_blocks,
@@ -248,7 +255,7 @@ def main():
         'vs_baseline': round(value / BASELINE_PATCHES_PER_SEC, 3),
         'serving_cfg': {
             'approx_topk': True, 'nms_candidates': 2000,
-            'frm_kernel': os.environ.get('BENCH_FRM_KERNEL', '0') == '1',
+            'frm_kernel': os.environ.get('BENCH_FRM_KERNEL', _FRM_DEFAULT),
             'pool_kernel': os.environ.get('BENCH_POOL_KERNEL', '1') == '1',
             'fused_stem': os.environ.get('BENCH_FUSED_STEM') == '1',
             'fused_blocks': os.environ.get('BENCH_FUSED_BLOCKS') == '1',

@@ -203,9 +203,10 @@ class R3Det(nn.Module):
     # compose the FRM's 1x5+5x1+1x1 convs into one 5x5 at trace time
     # (models/frm.py fuse_convs: same params/math, one HBM pass)
     frm_fuse_convs: bool = False
-    # banded Pallas stencil kernel for the FRM bilinear sample
-    # (ops/frm_sample.py) — replaces the row-latency-bound flat gather
-    frm_sample_kernel: bool = False
+    # FRM bilinear-sample route (ops/frm_sample.py): True/'band' =
+    # banded Pallas kernel, 'stencil' = pure-XLA masked stencil —
+    # replaces the row-latency-bound flat gather
+    frm_sample_kernel: Any = False
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
     fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
     stem_pool_kernel: bool = False      # pallas stem-pool band kernel

@@ -69,11 +69,13 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
     Returns feat + sum of bilinear samples at the box points (the CUDA
     kernel's ``output_val = input + sum(samples)``).
 
-    sample_kernel=True routes the points=1 center sample through the
-    banded Pallas stencil kernel (ops/frm_sample.py) instead of the flat
-    XLA gather — same values (fp reassociation only; the gather path
-    also rounds corner weights to feat dtype, the kernel keeps f32),
-    ~10x less sample time on v5e.
+    sample_kernel routes the points=1 center sample away from the flat
+    XLA gather: True/'band' uses the banded Pallas stencil kernel,
+    'stencil' the pure-XLA masked-stencil form (ops/frm_sample.py) —
+    same values either way (fp reassociation only; the gather path
+    also rounds corner weights to feat dtype, the stencils keep f32).
+    The band kernel wins isolated but loses in the full serving graph
+    (PARITY.md round-5); 'stencil' fuses with its neighbors.
     """
     b, h, w, c = feat.shape
     cx = best_bboxes[..., 0] * spatial_scale
@@ -94,10 +96,17 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
     # h == w) in Tm = min(16, g0) rows and asserts g0 % Tm == 0 — shapes
     # that don't divide (e.g. 136x136 from a 1088px input) must fall
     # back to the flat gather instead of tripping the assert
-    if (sample_kernel and points == 1 and w >= 128
-            and (h == w or not transpose_quirk)
-            and h % min(16, h) == 0):
-        from ..ops.frm_sample import bilinear_sample_band
+    use_band = (sample_kernel in (True, 'band') and points == 1
+                and w >= 128 and (h == w or not transpose_quirk)
+                and h % min(16, h) == 0)
+    # the pure-XLA stencil has no tile/lane-width constraints — it works
+    # at every level whose grid aligns with the feature map (always,
+    # modulo the quirk's square requirement)
+    use_stencil = (sample_kernel == 'stencil' and points == 1
+                   and (h == w or not transpose_quirk))
+    if use_band or use_stencil:
+        from ..ops.frm_sample import (bilinear_sample_band,
+                                      bilinear_sample_stencil)
         rowg = row0.reshape(b, h, w)
         colg = col0.reshape(b, h, w)
         if transpose_quirk:
@@ -106,7 +115,9 @@ def feature_refine_sample(feat, best_bboxes, spatial_scale, points=1,
             rowg = rowg.transpose(0, 2, 1)
             colg = colg.transpose(0, 2, 1)
         ins = jnp.ones(rowg.shape, bool)
-        val, _ = bilinear_sample_band(feat, rowg, colg, ins)
+        sample = (bilinear_sample_band if use_band
+                  else bilinear_sample_stencil)
+        val, _ = sample(feat, rowg, colg, ins)
         if transpose_quirk:
             val = val.transpose(0, 2, 1, 3)
         return feat + val
@@ -144,9 +155,10 @@ class FeatureRefineModule(nn.Module):
     featmap_strides: Sequence[int] = (8, 16, 32, 64, 128)
     points: int = 1
     transpose_quirk: bool = True
-    # route the points=1 sample through the banded Pallas stencil
-    # kernel (ops/frm_sample.py) instead of the flat XLA gather
-    sample_kernel: bool = False
+    # route the points=1 sample away from the flat XLA gather:
+    # True/'band' = banded Pallas kernel, 'stencil' = pure-XLA masked
+    # stencil (ops/frm_sample.py)
+    sample_kernel: Any = False
     # compose conv_5_1 o conv_1_5 + conv_1_1 into ONE 5x5 conv per level
     # (all three are linear, no activation between them — r3det's
     # feature_refine_module.py:66-127): K5[dy,dx,ci,co] =

@@ -196,7 +196,8 @@ def build_from_config(cfg, dtype=None, **model_kwargs):
     for key in _KERNEL_FLAG_KEYS:
         v = model_d.get(key, test_cfg.get(key))
         if v is not None:
-            kwargs[key] = bool(v)
+            # string routes pass through (frm_sample_kernel='stencil')
+            kwargs[key] = v if isinstance(v, str) else bool(v)
     kwargs.update(model_kwargs)
     if det_cfg.num_refine_stages == 0:     # RRetinaNet: no FRM module
         for key in _R3DET_ONLY_KWARGS:

@@ -9,7 +9,8 @@ import pytest
 
 from r3det_tpu.models.frm import (FeatureRefineModule, bilinear_sample,
                                   feature_refine_sample)
-from r3det_tpu.ops.frm_sample import bilinear_sample_band
+from r3det_tpu.ops.frm_sample import (bilinear_sample_band,
+                                      bilinear_sample_stencil)
 
 
 def _grids(rng, b, h, w, spread, n_far=0):
@@ -113,6 +114,72 @@ def test_band_sample_over_budget_falls_back_exact():
                                     outlier_budget=8,
                                     exact_fallback=False, interpret=True)
     assert np.abs(np.asarray(val_t) - _ref(feat, py, px)).max() > 1e-3
+
+
+@pytest.mark.parametrize('h,w', [(16, 16), (32, 32), (8, 8)])
+def test_stencil_sample_matches_gather(h, w):
+    # pure-XLA stencil == flat gather, in-window and with outliers
+    rng = np.random.RandomState(0)
+    b, c = 2, 256
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    py, px = _grids(rng, b, h, w, spread=1.5)
+    ins = jnp.ones((b, h, w), bool)
+    val, n_out = bilinear_sample_stencil(feat, jnp.asarray(py),
+                                         jnp.asarray(px), ins)
+    assert int(n_out) == 0
+    np.testing.assert_allclose(np.asarray(val), _ref(feat, py, px),
+                               rtol=1e-5, atol=1e-5)
+    py2, px2 = _grids(rng, b, h, w, spread=1.5, n_far=30)
+    val2, n_out2 = bilinear_sample_stencil(feat, jnp.asarray(py2),
+                                           jnp.asarray(px2), ins)
+    assert int(n_out2) > 0
+    np.testing.assert_allclose(np.asarray(val2), _ref(feat, py2, px2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_sample_over_budget_falls_back_exact():
+    rng = np.random.RandomState(3)
+    b, h, w, c = 2, 16, 16, 256
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    py, px = _grids(rng, b, h, w, spread=1.5, n_far=120)
+    ins = jnp.ones((b, h, w), bool)
+    val, n_out = bilinear_sample_stencil(feat, jnp.asarray(py),
+                                         jnp.asarray(px), ins,
+                                         outlier_budget=8)
+    assert int(n_out) > 8
+    np.testing.assert_allclose(np.asarray(val), _ref(feat, py, px),
+                               rtol=1e-5, atol=1e-5)
+    val_t, _ = bilinear_sample_stencil(feat, jnp.asarray(py),
+                                       jnp.asarray(px), ins,
+                                       outlier_budget=8,
+                                       exact_fallback=False)
+    assert np.abs(np.asarray(val_t) - _ref(feat, py, px)).max() > 1e-3
+
+
+@pytest.mark.parametrize('quirk', [True, False])
+def test_feature_refine_sample_stencil_route(quirk):
+    # 'stencil' module route == gather route (no interpret shim needed:
+    # the stencil is pure XLA and runs anywhere)
+    rng = np.random.RandomState(3)
+    b, h, w, c, stride = 2, 16, 16, 64, 8
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    i = np.arange(h)[None, :, None]
+    j = np.arange(w)[None, None, :]
+    cx = ((j + 0.5) * stride + rng.uniform(-8, 8, (b, h, w)))
+    cy = ((i + 0.5) * stride + rng.uniform(-8, 8, (b, h, w)))
+    boxes = np.stack([cx, cy,
+                      rng.uniform(8, 60, (b, h, w)),
+                      rng.uniform(8, 60, (b, h, w)),
+                      rng.uniform(-1.5, 0, (b, h, w))],
+                     -1).reshape(b, h * w, 5).astype(np.float32)
+    boxes = jnp.asarray(boxes)
+    ref = feature_refine_sample(feat, boxes, 1.0 / stride,
+                                transpose_quirk=quirk)
+    got = feature_refine_sample(feat, boxes, 1.0 / stride,
+                                transpose_quirk=quirk,
+                                sample_kernel='stencil')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize('quirk', [True, False])
