@@ -63,12 +63,14 @@ def run(batch, size=1024, iters=12, quantize=False, parity_nms=False):
             else TestCfg(approx_topk=True, nms_candidates=2000))
     cfg = R3DET_R50_V1._replace(
         stacked_convs=2, quantize=q, quantize_head=q, test=test)
-    # BENCH_FUSED_STEM=1 / BENCH_FUSED_BLOCKS=1 opt into the fused
-    # Pallas stem / resident bottleneck kernels — kept off the default
-    # serving path until their Mosaic compiles have been validated
-    # against this image's remote compile service (see PARITY.md
-    # remote-compile fragility notes)
-    fused_stem = os.environ.get('BENCH_FUSED_STEM') == '1'
+    # Fused Pallas stem (conv3x3+affine+ReLU+pool in one band kernel):
+    # chip-validated round 5 — isolated int8 15.99 vs 18.67 ms/b32 XLA,
+    # and a one-process interleaved e2e A/B of the full serving program
+    # read 198.97 (fused) vs 202.60 (XLA) ms/b32, the ~3.6 ms gap
+    # stable across 3 reps. Default ON; BENCH_FUSED_STEM=0 opts out.
+    # BENCH_FUSED_BLOCKS stays opt-in: its Mosaic compile wedged this
+    # image's remote compile service twice (PARITY.md fragility notes).
+    fused_stem = os.environ.get('BENCH_FUSED_STEM', '1') == '1'
     fused_blocks = os.environ.get('BENCH_FUSED_BLOCKS') == '1'
     pool_kernel = os.environ.get('BENCH_POOL_KERNEL', '1') == '1'
     # FRM bilinear sample: the banded Pallas stencil kernel
@@ -257,7 +259,7 @@ def main():
             'approx_topk': True, 'nms_candidates': 2000,
             'frm_kernel': os.environ.get('BENCH_FRM_KERNEL', _FRM_DEFAULT),
             'pool_kernel': os.environ.get('BENCH_POOL_KERNEL', '1') == '1',
-            'fused_stem': os.environ.get('BENCH_FUSED_STEM') == '1',
+            'fused_stem': os.environ.get('BENCH_FUSED_STEM', '1') == '1',
             'fused_blocks': os.environ.get('BENCH_FUSED_BLOCKS') == '1',
         },
         'parity_cfg_value': parity_value,

@@ -50,7 +50,7 @@ def _band_valid(p, shape, wc):
 
 
 def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                out_ref, xbuf, sems, *, wc):
+                out_ref, xbuf, a1buf, sems, *, wc):
     """One band: out rows [r0, r0+TH) x full width of one image.
 
     x_hbm: (B, H+2, W+2, C4) zero-padded input; band = padded rows
@@ -94,12 +94,18 @@ def _btl_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     # conv1-of-zero-pad (= relu(b1)): zero the halo ring where the
     # band row/col falls outside the real image
     a1 = jnp.where(_band_valid(p, a1.shape, wc), a1, 0)
+    # stage a1 through VMEM so the 9 tap slices below are REF reads at
+    # static offsets (the access pattern the stem kernel compiles with)
+    # rather than shifted relayouts of a live register array — slicing
+    # computed vectors at 3 sublane offsets is the prime suspect for
+    # the Mosaic compile hang this kernel used to trigger
+    a1buf[:] = a1
 
     # conv2 (3x3) + bn2 + relu: nine accumulated K=F taps
     acc = None
     for ky in range(3):
         for kx in range(3):
-            xs = a1[ky:ky + th, kx:kx + wc, :]
+            xs = a1buf[ky:ky + th, kx:kx + wc, :]
             part = jax.lax.dot_general(
                 xs, w2_ref[ky * 3 + kx], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -120,8 +126,8 @@ def _q8(v, inv):
 
 
 def _btl_kernel_q8(x_hbm, inv_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
-                   b2_ref, w3_ref, s3_ref, b3_ref, out_ref, xbuf, sems, *,
-                   wc):
+                   b2_ref, w3_ref, s3_ref, b3_ref, out_ref, xbuf, a1buf,
+                   sems, *, wc):
     """int8 variant of _btl_kernel: the band stays bf16 in VMEM (the
     residual needs it anyway), each conv input is quantized in
     registers with its calibrated static scale (inv_ref SMEM row:
@@ -166,11 +172,14 @@ def _btl_kernel_q8(x_hbm, inv_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
     # see _btl_kernel: conv2's SAME padding must see zeros, not relu(b1)
     a1 = jnp.where(_band_valid(p, a1.shape, wc), a1, 0.0)
 
-    a1i = _q8(a1, inv_ref[0, 1])
+    # stage the quantized conv2 input through VMEM: tap slices as REF
+    # reads, not register relayouts (see _btl_kernel; int8 scratch
+    # slicing is the stem kernel's proven-to-compile pattern)
+    a1buf[:] = _q8(a1, inv_ref[0, 1])
     acc = None
     for ky in range(3):
         for kx in range(3):
-            xs = a1i[ky:ky + th, kx:kx + wc, :]
+            xs = a1buf[ky:ky + th, kx:kx + wc, :]
             part = jax.lax.dot_general(
                 xs, w2_ref[ky * 3 + kx], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -237,6 +246,7 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=False):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, BTL_TH + 2, wp, c4), jnp.bfloat16),
+            pltpu.VMEM((BTL_TH + 2, wp, f), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -317,6 +327,7 @@ def fused_bottleneck_q8(x, w1, b1, w2, b2, w3, b3, amax1, amax2, amax3,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, BTL_TH + 2, wp, c4), jnp.bfloat16),
+            pltpu.VMEM((BTL_TH + 2, wp, f), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
