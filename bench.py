@@ -88,11 +88,21 @@ def run(batch, size=1024, iters=12, quantize=False, parity_nms=False):
     frm_env = os.environ.get('BENCH_FRM_KERNEL', _FRM_DEFAULT)
     frm_kernel = {'0': False, '1': True, 'band': True,
                   'stencil': 'stencil'}.get(frm_env, False)
+    # int8 activation storage between bottlenecks (resnet.py int8_act):
+    # quantize each block input once, share the int8 tensor with
+    # conv1/downsample/residual so the bf16 inter-block tensors never
+    # round-trip HBM — the C2/C3 bandwidth the retired fused-bottleneck
+    # kernel targeted, in plain XLA. Chip-validated round 5: backbone
+    # 71.3 -> 61.0 ms/b32 isolated; full serving e2e interleaved A/B
+    # 193.7 -> 208.2 patches/s, stable across 3 reps. int8-only (no-op
+    # under bf16 attempts).
+    int8_act = os.environ.get('BENCH_INT8_ACT', '1') == '1' and bool(q)
     model = build_detector(cfg, dtype=jnp.bfloat16,
                            stem_fused_kernel=fused_stem,
                            fused_blocks=fused_blocks,
                            stem_pool_kernel=pool_kernel,
-                           frm_sample_kernel=frm_kernel)
+                           frm_sample_kernel=frm_kernel,
+                           int8_act=int8_act)
     rng = np.random.RandomState(0)
     # distinct inputs: the axon execution layer caches identical calls,
     # and block_until_ready does not synchronize through the tunnel —
@@ -261,6 +271,7 @@ def main():
             'pool_kernel': os.environ.get('BENCH_POOL_KERNEL', '1') == '1',
             'fused_stem': os.environ.get('BENCH_FUSED_STEM', '1') == '1',
             'fused_blocks': os.environ.get('BENCH_FUSED_BLOCKS') == '1',
+            'int8_act': os.environ.get('BENCH_INT8_ACT', '1') == '1',
         },
         'parity_cfg_value': parity_value,
     }))

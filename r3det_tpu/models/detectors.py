@@ -167,6 +167,7 @@ class RRetinaNet(nn.Module):
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
     fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
     stem_pool_kernel: bool = False      # pallas stem-pool band kernel
+    int8_act: bool = False              # int8 activation storage (serving)
 
     @nn.compact
     def __call__(self, images):
@@ -176,6 +177,7 @@ class RRetinaNet(nn.Module):
                        stem_fused_kernel=self.stem_fused_kernel,
                        fused_blocks=self.fused_blocks,
                        stem_pool_kernel=self.stem_pool_kernel,
+                       int8_act=self.int8_act,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=self.cfg.feat_channels,
                     quantize=self.cfg.quantize, dtype=self.dtype,
@@ -210,6 +212,7 @@ class R3Det(nn.Module):
     stem_fused_kernel: bool = False     # ops/stem_pool.py fused stem
     fused_blocks: bool = False          # ops/bottleneck_fuse.py (serving)
     stem_pool_kernel: bool = False      # pallas stem-pool band kernel
+    int8_act: bool = False              # int8 activation storage (serving)
 
     @nn.compact
     def __call__(self, images):
@@ -220,6 +223,7 @@ class R3Det(nn.Module):
                        stem_fused_kernel=self.stem_fused_kernel,
                        fused_blocks=self.fused_blocks,
                        stem_pool_kernel=self.stem_pool_kernel,
+                       int8_act=self.int8_act,
                        dtype=self.dtype, name='backbone')(images)
         feats = FPN(out_channels=cfg.feat_channels,
                     quantize=cfg.quantize, dtype=self.dtype,

@@ -65,24 +65,36 @@ class QConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # ``x`` may be a pre-quantized (int8 tensor, f32 scale) pair —
+        # the int8-activation-storage path (Bottleneck int8_act)
+        # quantizes a block input ONCE and shares the int8 tensor
+        # between conv1 / downsample / the residual, so the bf16 form
+        # never round-trips HBM. The act_absmax variable is still
+        # defined (param-tree compat with checkpoints), just unused.
+        prequant = isinstance(x, tuple)
+        ci = x[0].shape[-1] if prequant else x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param('kernel', self.kernel_init,
-                            (kh, kw, x.shape[-1], self.features))
+                            (kh, kw, ci, self.features))
         ki, kscale = _quantize_weights(kernel.astype(jnp.float32))
         # calibrated per-tensor activation scale; 0 = uncalibrated
         amax = self.variable('quant_stats', 'act_absmax',
                              lambda: jnp.zeros((), jnp.float32))
-        x32 = x.astype(jnp.float32)
-        mutable = self.is_mutable_collection('quant_stats')
-        if mutable or not self.static_scale:
-            dyn = jnp.max(jnp.abs(x32))
-            if mutable:
-                amax.value = jnp.maximum(amax.value, dyn)
-            absmax = jnp.where(amax.value > 0, amax.value, dyn)
+        if prequant:
+            xi, ascale = x
         else:
-            absmax = amax.value
-        ascale = jnp.maximum(absmax, 1e-8) / 127.0
-        xi = jnp.clip(jnp.round(x32 / ascale), -127, 127).astype(jnp.int8)
+            x32 = x.astype(jnp.float32)
+            mutable = self.is_mutable_collection('quant_stats')
+            if mutable or not self.static_scale:
+                dyn = jnp.max(jnp.abs(x32))
+                if mutable:
+                    amax.value = jnp.maximum(amax.value, dyn)
+                absmax = jnp.where(amax.value > 0, amax.value, dyn)
+            else:
+                absmax = amax.value
+            ascale = jnp.maximum(absmax, 1e-8) / 127.0
+            xi = jnp.clip(jnp.round(x32 / ascale),
+                          -127, 127).astype(jnp.int8)
         pad = self.padding
         if not isinstance(pad, str):
             pad = [tuple(p) for p in pad]

@@ -57,6 +57,15 @@ class Bottleneck(nn.Module):
     stride: int = 1
     quantize: bool = False
     fused: bool = False
+    # int8 activation STORAGE (serving, requires quantize='static'):
+    # quantize the block input once with a block-level calibrated scale
+    # and share the int8 tensor between conv1, the downsample conv and
+    # the residual (which reads the dequantized int8). The input's bf16
+    # form then has no consumers, so XLA fuses the quantize into the
+    # previous block's epilogue and the big inter-block tensors travel
+    # HBM at half width — the C2/C3 bandwidth the retired fused
+    # bottleneck kernel targeted, without a Pallas region.
+    int8_act: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,7 +142,28 @@ class Bottleneck(nn.Module):
                 x.astype(jnp.bfloat16), w1, b1, w2, b2, w3, b3,
                 tpu=fused_bottleneck, default=xla_ref).astype(self.dtype)
 
-        y = conv1(x)
+        x_in = x
+        if self.int8_act and self.quantize == 'static':
+            # block-level input scale, calibrated like QConv's
+            # act_absmax (tools/test.py --calibrate-int8 records it on
+            # the same mutable pass); bench pre-fills it with the rest
+            # of quant_stats
+            inabs = self.variable('quant_stats', 'in_absmax',
+                                  lambda: jnp.zeros((), jnp.float32))
+            x32 = x.astype(jnp.float32)
+            if self.is_mutable_collection('quant_stats'):
+                dyn = jnp.max(jnp.abs(x32))
+                inabs.value = jnp.maximum(inabs.value, dyn)
+                absmax = jnp.where(inabs.value > 0, inabs.value, dyn)
+            else:
+                absmax = inabs.value
+            ascale = jnp.maximum(absmax, 1e-8) / 127.0
+            xi = jnp.clip(jnp.round(x32 / ascale),
+                          -127, 127).astype(jnp.int8)
+            x_in = (xi, ascale)
+            residual = (xi.astype(jnp.float32) * ascale).astype(
+                self.dtype)
+        y = conv1(x_in)
         y = bn1(y)
         y = nn.relu(y)
         y = conv2(y)
@@ -141,11 +171,11 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = conv3(y)
         y = bn3(y)
-        if residual.shape[-1] != self.features * 4 or self.stride != 1:
+        if x.shape[-1] != self.features * 4 or self.stride != 1:
             residual = Conv(self.features * 4, (1, 1),
                             strides=(self.stride, self.stride),
                             use_bias=False, dtype=self.dtype,
-                            name='downsample_conv')(x)
+                            name='downsample_conv')(x_in)
             residual = FrozenBN(self.features * 4, dtype=self.dtype,
                                 name='downsample_bn')(residual)
         return nn.relu(y + residual)
@@ -208,13 +238,18 @@ class ResNet(nn.Module):
     # XLA int8 conv on the MXU int8 path; ops/stem_pool.py::
     # pool_s2d4_pallas). Orthogonal to stem_fused_kernel.
     stem_pool_kernel: bool = False
+    # int8 activation storage between bottlenecks (see Bottleneck
+    # int8_act); serving-only, requires quantize='static'
+    int8_act: bool = False
     dtype: Any = jnp.float32
 
     @property
     def stage_blocks(self) -> Tuple[int, ...]:
-        # depth 10 is a 1-block-per-stage bottleneck trunk for fast tests
-        return {10: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
-                152: (3, 8, 36, 3)}[self.depth]
+        # depth 10 is a 1-block-per-stage bottleneck trunk for fast
+        # tests; depth 14 adds one stride-1 identity block (covers the
+        # identity-residual paths the all-downsample depth 10 misses)
+        return {10: (1, 1, 1, 1), 14: (2, 1, 1, 1), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.depth]
 
     @nn.compact
     def __call__(self, x):
@@ -282,7 +317,8 @@ class ResNet(nn.Module):
                 stride = 2 if (blk == 0 and stage > 0) else 1
                 x = Bottleneck(widths[stage], stride=stride,
                                quantize=self.quantize,
-                               fused=self.fused_blocks, dtype=self.dtype,
+                               fused=self.fused_blocks,
+                               int8_act=self.int8_act, dtype=self.dtype,
                                name=f'layer{stage + 1}_{blk}')(x)
             if stage + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -165,7 +165,7 @@ def _quant_flag(model, test_cfg, key):
 # RRetinaNet models.
 _KERNEL_FLAG_KEYS = ('stem_fused_kernel', 'fused_blocks',
                      'stem_pool_kernel', 'frm_sample_kernel',
-                     'frm_fuse_convs')
+                     'frm_fuse_convs', 'int8_act')
 _R3DET_ONLY_KWARGS = ('frm_sample_kernel', 'frm_fuse_convs', 'frm_points',
                       'frm_transpose_quirk')
 

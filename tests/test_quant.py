@@ -137,3 +137,49 @@ def test_frm_convs_quantize_with_backbone_flag():
     v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     frm_qs = v['quant_stats']['frm_0']
     assert set(frm_qs) == {'conv_1_5', 'conv_5_1', 'conv_1_1'}, frm_qs
+
+
+def test_int8_act_storage_matches_static_path():
+    """int8 activation storage (Bottleneck int8_act): block inputs are
+    quantized once and shared by conv1/downsample/residual. conv1's
+    math is unchanged (the block-level in_absmax records the same
+    max|x| its act_absmax would); only the residual picks up int8
+    noise, so outputs track the plain static path within int8 error."""
+    cfg = TINY._replace(quantize='static', backbone_depth=14)
+    m = build_detector(cfg, dtype=jnp.float32)
+    m8 = build_detector(cfg, dtype=jnp.float32, int8_act=True)
+    x = jnp.asarray(np.random.RandomState(2).uniform(
+        -2, 2, (1, 64, 64, 3)).astype(np.float32))
+    v8 = jax.jit(m8.init)(jax.random.PRNGKey(0), x)
+    v8 = calibrate(m8, v8, [x])
+    # the block-level input stats exist and were recorded
+    qs = v8['quant_stats']['backbone']
+    inabs = [qs[k]['in_absmax'] for k in qs if k.startswith('layer')]
+    assert inabs and all(float(s) > 0 for s in inabs)
+    # plain static model shares params; calibrate it independently
+    v = {k: v8[k] for k in ('params', 'batch_stats')}
+    v['quant_stats'] = jax.jit(m.init)(
+        jax.random.PRNGKey(0), x)['quant_stats']
+    v = calibrate(m, v, [x])
+    out = m.apply(v, x)
+    out8 = m8.apply(v8, x)
+    for lvl in range(len(out['s0'][0])):
+        a = np.asarray(out['s0'][0][lvl])
+        b = np.asarray(out8['s0'][0][lvl])
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.05, (lvl, rel)
+
+
+def test_qconv_prequantized_input_bit_identical():
+    """QConv fed a pre-quantized (int8, scale) pair reproduces the
+    internal quantize-then-conv path bit-for-bit."""
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.normal(0, 1, (2, 8, 8, 16)).astype(np.float32))
+    qconv = QConv(32, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                  dtype=jnp.float32)
+    v = qconv.init(jax.random.PRNGKey(0), x)
+    y = qconv.apply(v, x)
+    ascale = jnp.max(jnp.abs(x)) / 127.0
+    xi = jnp.clip(jnp.round(x / ascale), -127, 127).astype(jnp.int8)
+    y2 = qconv.apply(v, (xi, ascale))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))

@@ -34,9 +34,9 @@ def parse_args():
                         'activation scales from N dataset batches before '
                         'inference (default: dynamic scales)')
     p.add_argument('--fused-kernels', action='store_true',
-                   help='serving-only fused Pallas kernels (stem, '
-                        'stride-1 bottlenecks, FRM band sample); '
-                        'inference graphs only')
+                   help='serving-only fused Pallas kernels (currently '
+                        'the chip-validated s2d4 stem); inference '
+                        'graphs only')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -54,15 +54,15 @@ def main():
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(dict(kv.split('=', 1) for kv in args.cfg_options))
-    # --fused-kernels opts the serving Pallas stem/bottleneck kernels
-    # in at once; the same flags are config-reachable individually
-    # (model dict or test_cfg keys, utils/builder.py _KERNEL_FLAG_KEYS).
-    # The FRM band-sample kernel is NOT included: it wins its isolated
-    # A/B but loses ~39 ms/b32 in the full serving graph (PARITY.md
-    # round-5 component map) — reach it explicitly via the
-    # frm_sample_kernel config key if its in-context cost is ever fixed.
-    kernel_kwargs = dict(stem_fused_kernel=args.fused_kernels,
-                         fused_blocks=args.fused_kernels)
+    # --fused-kernels opts in the chip-validated serving Pallas
+    # kernels; the individual flags are also config-reachable (model
+    # dict or test_cfg keys, utils/builder.py _KERNEL_FLAG_KEYS).
+    # NOT included: the FRM band-sample kernel (wins its isolated A/B,
+    # loses ~39 ms/b32 in the full serving graph) and the fused
+    # bottleneck (its Mosaic compile wedged this image's remote
+    # compile service three times — PARITY.md) — reach them explicitly
+    # via the frm_sample_kernel / fused_blocks config keys.
+    kernel_kwargs = dict(stem_fused_kernel=args.fused_kernels)
     model, det_cfg = build_from_config(cfg, **kernel_kwargs)
 
     # evaluate whatever split the config's test dict points at, like the
