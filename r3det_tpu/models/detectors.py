@@ -471,9 +471,14 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
             max_scores = scores.max(-1)
             if t.approx_topk:
                 # TPU-native approximate top-k (recall ~0.95); opt-in for
-                # serving — exact lax.top_k is the parity default
+                # serving — exact selection is the parity default
                 _, topk = jax.lax.approx_max_k(max_scores, k)
             else:
+                # exact lax.top_k. The threshold-select alternative
+                # (ops/topk.py) loses its in-context A/B here: 168.3 vs
+                # 172.2 patches/s e2e parity config, stable over 3
+                # interleaved reps (round 5) — XLA's sort-based top-k
+                # beats 32 masked count passes at this n/k.
                 _, topk = jax.lax.top_k(max_scores, k)
             scores = jnp.take_along_axis(scores, topk[..., None], axis=1)
             reg = jnp.take_along_axis(reg, topk[..., None], axis=1)

@@ -398,6 +398,10 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
     elif approx_topk:
         top_scores, top_idx = jax.lax.approx_max_k(gated, k)
     else:
+        # exact selection. ops/topk.py's threshold select was built to
+        # dodge this 80k-element sort but LOSES its in-context e2e A/B
+        # (168.3 vs 172.2 patches/s, round 5) — the sort is not the
+        # parity config's bottleneck and lax.top_k stays.
         top_scores, top_idx = jax.lax.top_k(gated, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
