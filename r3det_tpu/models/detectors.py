@@ -26,7 +26,7 @@ from ..core import coders
 from ..core.anchors import RAnchorGenerator
 from ..core.samplers import SamplerCfg
 from ..core.targets import TargetConfig, anchor_targets, num_total_samples
-from ..ops.nms import multiclass_nms_rotated
+from ..ops.nms import multiclass_nms_rotated_batched
 from .fpn import FPN
 from .frm import FeatureRefineModule
 from .losses import sigmoid_focal_loss, smooth_l1_loss
@@ -501,12 +501,18 @@ def detector_predict(outputs, cfg: DetectorConfig, featmap_sizes,
     scores = jnp.concatenate(
         [scores, jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)], -1)
 
-    nms_one = partial(multiclass_nms_rotated,
-                      score_thr=t.score_thr, iou_thr=t.nms_iou_thr,
-                      version=t.nms_version, max_num=t.max_per_img,
-                      pre_topk=min(t.nms_candidates or 2 * t.nms_pre,
-                                   boxes.shape[1] * cfg.num_classes),
-                      approx_topk=t.approx_topk)
-    dets, labels, num = jax.vmap(lambda bx, sc: nms_one(bx, sc))(
-        boxes, scores)
+    # Adaptive exact sweep budget: the full pre_topk budget's K² sweep
+    # costs run even on empty scenes (+17 ms/b32 at 4000 vs 2000,
+    # round 5); when every image's live count fits the serving budget
+    # (nms_pre), sweeping that score-sorted prefix is keep-set
+    # identical, and a batch-level cond picks at runtime. Dense scenes
+    # still pay the full exact sweep.
+    dets, labels, num = multiclass_nms_rotated_batched(
+        boxes, scores,
+        score_thr=t.score_thr, iou_thr=t.nms_iou_thr,
+        version=t.nms_version, max_num=t.max_per_img,
+        pre_topk=min(t.nms_candidates or 2 * t.nms_pre,
+                     boxes.shape[1] * cfg.num_classes),
+        approx_topk=t.approx_topk,
+        small_k=max(t.max_per_img, t.nms_pre))
     return dets, labels, num

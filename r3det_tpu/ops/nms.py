@@ -349,6 +349,109 @@ def _gather_dets(boxes, scores, labels, keep_idx):
     return dets, out_labels
 
 
+def _select_candidates(mboxes, mscores, score_thr, k, approx_topk):
+    """Per-image candidate selection over (position, class) pairs.
+
+    Flattens per-class boxes/scores, gates by score_thr (NEG_INF
+    padding), and returns the top-k candidates score-descending
+    (exact lax.top_k tie order = stable ascending index):
+    (boxes (k, 5), scores (k,), labels (k,), valid (k,)). When
+    k >= N*C this is a full sort — every pair above score_thr
+    competes, the exact reference semantics.
+    """
+    n, cp1 = mscores.shape
+    c = cp1 - 1
+    scores = mscores[:, :c]                          # drop BG column
+    if mboxes.ndim == 2:
+        boxes = jnp.broadcast_to(mboxes[:, None, :], (n, c, 5))
+    else:
+        boxes = mboxes
+    flat_scores = scores.reshape(-1)
+    flat_boxes = boxes.reshape(-1, 5)
+    flat_labels = jnp.tile(jnp.arange(c), n)
+    gated = jnp.where(flat_scores > score_thr, flat_scores, NEG_INF)
+    k = min(k, flat_scores.shape[0])
+    if approx_topk and k < flat_scores.shape[0]:
+        top_scores, top_idx = jax.lax.approx_max_k(gated, k)
+    else:
+        # exact selection. ops/topk.py's threshold select was built to
+        # dodge this sort but LOSES its in-context e2e A/B (168.3 vs
+        # 172.2 patches/s, round 5) — lax.top_k stays.
+        top_scores, top_idx = jax.lax.top_k(gated, k)
+    return (flat_boxes[top_idx], top_scores, flat_labels[top_idx],
+            top_scores > NEG_INF / 2)
+
+
+def _sweep_dets(top_boxes, top_scores, top_labels, valid, iou_thr,
+                version, max_num):
+    """Greedy sweep + det gathering on score-sorted candidates."""
+    if version == 'v3':
+        valid = valid & (jnp.minimum(top_boxes[:, 2],
+                                     top_boxes[:, 3]) >= 1e-3)
+    keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
+                              valid=valid, labels=top_labels,
+                              label_aware=True,
+                              negate_angle=version in ('v3', 'mmcv'),
+                              presorted=True)
+    dets, labels_out = _gather_dets(top_boxes, top_scores, top_labels,
+                                    keep_idx)
+    return dets, labels_out, jnp.minimum(num, max_num)
+
+
+@partial(jax.jit, static_argnames=('version', 'max_num', 'pre_topk',
+                                   'approx_topk', 'small_k'))
+def multiclass_nms_rotated_batched(mboxes, mscores, score_thr, iou_thr,
+                                   version='v1', max_num=2000,
+                                   pre_topk=2000, approx_topk=False,
+                                   small_k=None):
+    """Batched multiclass NMS with a runtime-adaptive EXACT sweep budget.
+
+    The K² costs of the greedy sweep (IoU tile grid, (K, K)
+    suppression materialization, scan steps) scale with the static
+    candidate budget even when every candidate is padding — measured
+    +17 ms/b32 going 2000 -> 4000 on an EMPTY scene (round 5). But the
+    big budget only changes results when more than small_k candidates
+    are live: candidates are score-sorted with a NEG_INF-padded
+    suffix, so if every image's live count fits in the first small_k
+    rows, sweeping just those rows is keep-set-IDENTICAL to the full
+    sweep (the suffix can neither keep nor suppress). A batch-level
+    `lax.cond` (unbatched predicate — stays a real cond, not a
+    select) picks the branch at runtime: typical scenes pay the
+    serving-budget sweep, dense scenes pay the full exact sweep, and
+    the result is bit-identical to `vmap(multiclass_nms_rotated)`
+    either way (tests/test_nms.py::test_adaptive_budget_*).
+
+    mboxes: (B, N, 5) or (B, N, C, 5); mscores: (B, N, C+1).
+    small_k: small-branch sweep budget; None or >= pre_topk disables
+    the cond (single full-budget sweep). Clamped to >= max_num so both
+    branches emit (max_num,) outputs.
+    """
+    kb = min(pre_topk, mscores.shape[1] * (mscores.shape[2] - 1))
+    sel = jax.vmap(
+        lambda bx, sc: _select_candidates(bx, sc, score_thr, kb,
+                                          approx_topk))(mboxes, mscores)
+    top_boxes, top_scores, top_labels, valid = sel
+    sweep = partial(_sweep_dets, iou_thr=iou_thr, version=version,
+                    max_num=max_num)
+    if small_k is None or max(small_k, max_num) >= kb:
+        return jax.vmap(sweep)(*sel)
+    sk = max(small_k, max_num)
+
+    def small(args):
+        tb, ts, tl, vv = args
+        return jax.vmap(sweep)(tb[:, :sk], ts[:, :sk], tl[:, :sk],
+                               vv[:, :sk])
+
+    def big(args):
+        return jax.vmap(sweep)(*args)
+
+    # valid is a per-image prefix (score-sorted, NEG_INF suffix), so
+    # its sum IS the prefix length; the v3 tiny-box skip only pokes
+    # holes INSIDE the prefix (applied in _sweep_dets), never extends.
+    live = jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+    return jax.lax.cond(live <= sk, small, big, sel)
+
+
 @partial(jax.jit, static_argnames=('version', 'max_num', 'pre_topk',
                                    'approx_topk'))
 def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
@@ -377,36 +480,6 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
 
     Returns (dets (max_num, 6), labels (max_num,), num_valid).
     """
-    n, cp1 = mscores.shape
-    c = cp1 - 1
-    scores = mscores[:, :c]                          # drop BG column
-    if mboxes.ndim == 2:
-        boxes = jnp.broadcast_to(mboxes[:, None, :], (n, c, 5))
-    else:
-        boxes = mboxes
-    flat_scores = scores.reshape(-1)
-    flat_boxes = boxes.reshape(-1, 5)
-    flat_labels = jnp.tile(jnp.arange(c), n)
-    ok = flat_scores > score_thr
-    gated = jnp.where(ok, flat_scores, NEG_INF)
-    k = min(pre_topk, flat_scores.shape[0])
-    presorted = True
-    if k == flat_scores.shape[0]:
-        # full budget: no selection, let _nms_core sort
-        top_scores, top_idx = gated, jnp.arange(k)
-        presorted = False
-    elif approx_topk:
-        top_scores, top_idx = jax.lax.approx_max_k(gated, k)
-    else:
-        # exact selection. ops/topk.py's threshold select was built to
-        # dodge this 80k-element sort but LOSES its in-context e2e A/B
-        # (168.3 vs 172.2 patches/s, round 5) — the sort is not the
-        # parity config's bottleneck and lax.top_k stays.
-        top_scores, top_idx = jax.lax.top_k(gated, k)
-    top_boxes = flat_boxes[top_idx]
-    top_labels = flat_labels[top_idx]
-    valid = top_scores > NEG_INF / 2
-
     # All four reference policies are per-class NMS in disguise: the
     # v1/v3 class-offset tricks exist only because those CUDA kernels
     # lacked label gating (rnms_wrapper.py:37-69, nms_rotated_wrapper.py:
@@ -414,16 +487,9 @@ def multiclass_nms_rotated(mboxes, mscores, score_thr, iou_thr,
     # gating labels (test_nms.py asserts the equivalence). So one
     # label-gated pass serves every version; the version selects only
     # the angle convention (v3/'mmcv' kernels rotate with the opposite
-    # sign — ops.rotated_iou.negate_theta) and the v3 tiny-box skip.
-    if version == 'v3':
-        valid = valid & (jnp.minimum(top_boxes[:, 2],
-                                     top_boxes[:, 3]) >= 1e-3)
-    keep_idx, num = _nms_core(top_boxes, top_scores, iou_thr, max_num,
-                              valid=valid, labels=top_labels,
-                              label_aware=True,
-                              negate_angle=version in ('v3', 'mmcv'),
-                              presorted=presorted)
-
-    dets, labels_out = _gather_dets(top_boxes, top_scores, top_labels,
-                                    keep_idx)
-    return dets, labels_out, jnp.minimum(num, max_num)
+    # sign — ops.rotated_iou.negate_theta) and the v3 tiny-box skip
+    # (applied in _sweep_dets).
+    sel = _select_candidates(mboxes, mscores, score_thr, pre_topk,
+                             approx_topk)
+    return _sweep_dets(*sel, iou_thr=iou_thr, version=version,
+                       max_num=max_num)
